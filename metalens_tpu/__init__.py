@@ -1,0 +1,55 @@
+"""metalens_tpu -- a TPU-native metasurface-lens design framework.
+
+A from-scratch rebuild of the capabilities of ``sbyrnes321/metalens``
+(reference mounted at /root/reference) as an idiomatic JAX/XLA system:
+
+* the external S4.exe RCWA binary + Lua driver + subprocess/file IPC is
+  replaced by an in-framework, batched, *differentiable*, eig-free
+  Fourier-modal-method solver (:mod:`metalens_tpu.solver`);
+* process fan-out parallelism becomes vmap/pjit batching over
+  (geometry, angle, wavelength, polarization) with device-mesh sharding
+  (:mod:`metalens_tpu.parallel`);
+* the scene/state API (Grating, GratingCollection, HexGridSet,
+  design/assembly, near- and far-field) is preserved, including the
+  spec-roundtrip ``repr`` persistence format.
+
+Quick start::
+
+    from metalens_tpu import Grating, optimize
+    from metalens_tpu.units import nm, degree
+    import numpy as np
+    g = Grating(lateral_period=560*nm, cyl_height=500*nm,
+                target_wavelength=785*nm, angle_in_air=65*degree,
+                xyrra_list_in_nm_deg=np.array([[0., 0., 200., 150., 0.]]))
+    g_opt = optimize(g, target_wavelength=785*nm)
+"""
+
+from . import units, materials, geometry
+from .units import nm, um, degree
+from .grating import (Grating, GratingCollection, validate, resize,
+                      min_diameter, min_distance)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "units", "materials", "geometry", "nm", "um", "degree",
+    "Grating", "GratingCollection", "validate", "resize",
+    "min_diameter", "min_distance",
+]
+
+
+def __getattr__(name):
+    # heavier subsystems loaded lazily (importlib, not `from . import`, to
+    # avoid re-entering this hook during the submodule import)
+    import importlib
+    if name == "optimize":
+        # both the submodule name and a function name; return the submodule's
+        # function (callable), matching the reference's flat-module usage
+        mod = importlib.import_module(".optimize", __name__)
+        return mod.optimize
+    if name in ("optimize2", "optimize_gradient", "vary_angle"):
+        mod = importlib.import_module(".optimize", __name__)
+        return getattr(mod, name)
+    if name == "HexGridSet":
+        return importlib.import_module(".hexgrid", __name__).HexGridSet
+    raise AttributeError(name)

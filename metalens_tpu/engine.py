@@ -1,0 +1,288 @@
+"""Engine: jitted, cached device programs behind the scene-object API.
+
+This layer replaces the reference's entire process/IPC machinery (temp dirs,
+setup files, ``subprocess.Popen(['S4','grating.lua'])``, stdout parsing --
+reference ``grating.py:37-86, 203-317``): a "job" here is a cached jitted
+function plus concrete array arguments, and "running many in parallel" is a
+batch dimension.
+
+The central object is the *FOM program*: one jitted function computing the
+full multi-wavelength figure of merit of a cell from its geometry.  Both
+polarizations are extracted from a single S-matrix per wavelength (the
+reference runs two full RCWA solves, ``grating.lua:320-323``), and because
+the program is differentiable end-to-end it also supplies exact gradients to
+the gradient optimizer -- the capability the reference's derivative-free
+loops lack (``grating.py:685-795``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .materials import resolve_indices
+from .solver import basis, orders as ordmod, rcwa
+from .solver.fom import FomTerm, DEFAULT_FOM_TERMS, term_score
+from .units import nm, pi
+
+
+def _default_dtype():
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+def _orders_key(orders):
+    return tuple(map(tuple, np.asarray(orders).tolist()))
+
+
+def static_solve_config(g, wavelengths, numG):
+    """Everything that must be concrete at trace time: the truncated order
+    set and the slab count for the thin-slab exponential."""
+    orders = ordmod.select_orders(g.grating_period, g.lateral_period, numG)
+    lam_min = min(wavelengths)
+    eps_max = 0.0
+    for lam in wavelengths:
+        ng, nt = resolve_indices(g.n_glass, g.n_tio2, lam)
+        eps_max = max(eps_max, abs(nt) ** 2, abs(ng) ** 2)
+    q2 = rcwa.q2_upper_bound(orders, g.grating_period, g.lateral_period,
+                             lam_min, eps_max)
+    k0h = 2 * pi * g.cyl_height / lam_min
+    n_slabs = rcwa.default_n_slabs(k0h, q2)
+    return orders, n_slabs
+
+
+# --------------------------------------------------------------------------
+# the FOM program
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _fom_program(orders_key, n_slabs: int, taylor_terms: int, dtype_name: str,
+                 target_idx: tuple, inphase: tuple, with_grad: bool):
+    """Build (and cache) the jitted FOM program for a static configuration.
+
+    Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p, eps_g, lam,
+    ux (incidence direction cosine), n_glass_now, cos_theta, weights.
+    """
+    orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
+    N = orders.shape[0]
+    i0 = ordmod.order_index(orders, 0, 0)
+    dtype = {"complex64": jnp.complex64, "complex128": jnp.complex128}[dtype_name]
+    T = len(target_idx)
+
+    def run(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, ng_now, cos_theta,
+            weights):
+        total = 0.0
+        wsum = 0.0
+        for t in range(T):
+            S, Kx, Ky = rcwa.cell_smatrix(
+                orders, xyrra, Lx, Ly, h, eps_p[t], eps_g[t], lam[t],
+                ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms,
+                dtype=dtype)
+            cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
+            cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
+            c = jnp.zeros((2 * N, 2), dtype=dtype)
+            c = c.at[i0, 0].set(cy_s.astype(dtype)).at[i0 + N, 0].set(cx_s.astype(dtype))
+            c = c.at[i0, 1].set(cy_p.astype(dtype)).at[i0 + N, 1].set(cx_p.astype(dtype))
+            ampf = S.s11 @ c                       # (2N, 2)
+            idx = target_idx[t]
+            score = term_score(ampf[idx, 0], ampf[idx + N, 1], ng_now[t],
+                               cos_theta[t], inphase[t])
+            total = total + weights[t] * score
+            wsum = wsum + weights[t]
+        return total / wsum
+
+    if with_grad:
+        return jax.jit(jax.value_and_grad(run))
+    return jax.jit(run)
+
+
+def _fom_inputs(g, target_wavelength, numG, terms, dtype):
+    terms = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
+    orders, n_slabs = static_solve_config(g, [t.wavelength for t in terms],
+                                          numG)
+    angle_in_air = (g.get_angle_in_air(target_wavelength)
+                    if target_wavelength is not None else None)
+    tgt_idx, inph, eps_p, eps_g, lam, ux, ngs, cth, w = [], [], [], [], [], [], [], [], []
+    for t in terms:
+        ng, nt = resolve_indices(g.n_glass, g.n_tio2, t.wavelength)
+        if t.target_order != 0:
+            if angle_in_air is None:
+                raise ValueError(
+                    "target_wavelength required for deflection FOM terms")
+            theta = angle_in_air
+        else:
+            theta = 0.0
+        try:
+            tgt_idx.append(ordmod.order_index(orders, t.target_order, 0))
+        except ValueError:
+            raise ValueError(
+                f"target order ({t.target_order},0) outside the numG={numG} "
+                f"truncation; increase numG")
+        inph.append(bool(t.inphase))
+        eps_p.append(complex(nt) ** 2)
+        eps_g.append(complex(ng) ** 2)
+        lam.append(t.wavelength)
+        ux.append(math.sin(theta))
+        ngs.append(float(np.real(ng)))
+        cth.append(math.cos(theta))
+        w.append(t.weight)
+    rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    arrays = (jnp.asarray(eps_p, dtype), jnp.asarray(eps_g, dtype),
+              jnp.asarray(lam, rdt), jnp.asarray(ux, rdt),
+              jnp.asarray(ngs, rdt), jnp.asarray(cth, rdt),
+              jnp.asarray(w, rdt))
+    return orders, n_slabs, tuple(tgt_idx), tuple(inph), arrays
+
+
+def fom_of_grating(g, target_wavelength=None, numG: int = 50,
+                   terms: Sequence[FomTerm] | None = None,
+                   taylor_terms: int = 10, dtype=None, xyrra=None) -> float:
+    """Figure of merit of one Grating (the ``run_lua`` replacement,
+    reference stack ``grating.py:283-317`` + ``grating.lua:290-332``)."""
+    dtype = dtype or _default_dtype()
+    orders, n_slabs, tgt, inph, arrays = _fom_inputs(
+        g, target_wavelength, numG, terms, dtype)
+    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms,
+                      np.dtype(dtype).name, tgt, inph, False)
+    xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list)
+    val = fn(xy, g.grating_period, g.lateral_period, g.cyl_height, *arrays)
+    return float(np.real(val))
+
+
+def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
+                       terms=None, taylor_terms: int = 10, dtype=None):
+    """Return a function xyrra -> (fom, d fom / d xyrra), jitted & cached.
+    Exact shape derivatives through the whole solve."""
+    dtype = dtype or _default_dtype()
+    orders, n_slabs, tgt, inph, arrays = _fom_inputs(
+        g, target_wavelength, numG, terms, dtype)
+    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms,
+                      np.dtype(dtype).name, tgt, inph, True)
+
+    def vg(xyrra):
+        return fn(xyrra, g.grating_period, g.lateral_period, g.cyl_height,
+                  *arrays)
+    return vg
+
+
+def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
+                    terms=None) -> list:
+    """FOM of a list of Gratings (the reference spawns one OS process per
+    grating, ``grating.py:1062-1072``; here the cached jitted program makes
+    this a cheap loop, members may differ in period)."""
+    return [fom_of_grating(g, target_wavelength=target_wavelength, numG=numG,
+                           terms=terms) for g in gratings]
+
+
+# --------------------------------------------------------------------------
+# characterize (the mode-2 / stdout-parsing replacement)
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
+                          dtype_name: str):
+    """Jitted sweep kernel, vmapped over the incidence batch:
+    (xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux[B], uy[B])
+    -> (ampf[B,2,2N], ampr[B,2,2N]); pol axis 0='y', 1='x' incidence."""
+    orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
+    N = orders.shape[0]
+    i0 = ordmod.order_index(orders, 0, 0)
+    dtype = {"complex64": jnp.complex64, "complex128": jnp.complex128}[dtype_name]
+
+    def run_one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
+        S, Kx, Ky = rcwa.cell_smatrix(
+            orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
+            n_slabs=n_slabs, taylor_terms=taylor_terms, dtype=dtype)
+        c_y = jnp.zeros((2 * N,), dtype=dtype).at[i0].set(1.0)
+        c_x = jnp.zeros((2 * N,), dtype=dtype).at[i0 + N].set(1.0)
+        c = jnp.stack([c_y, c_x], axis=1)           # (2N, 2)
+        ampf = (S.s11 @ c).T                        # (2, 2N)
+        ampr = (S.s21 @ c).T
+        return ampf, ampr
+
+    batched = jax.vmap(run_one,
+                       in_axes=(None, None, None, None, None, None, None, 0, 0))
+    return jax.jit(batched)
+
+
+def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
+                         wavelength, numG: int, just_normal: bool = False,
+                         convert_to_xy: bool = True, include_tir: bool = False,
+                         taylor_terms: int = 10, dtype=None,
+                         max_scan_order: int = 5):
+    """Amplitude database sweep for one grating: returns the reference's
+    list-of-dicts schema (``grating.py:408-478``), computed as one batched
+    on-device solve over the (ux, uy) grid with both incident polarizations
+    extracted from a single S-matrix per direction.
+
+    Responses are natively for incident 'x'/'y' polarization (unit amplitude
+    in the smooth S4 x/y basis) -- mathematically identical to the
+    reference's s/p solve + linear recombination (``grating.py:424-463``).
+    Orders kept: |k_in + G| < k_cutoff with k_cutoff = kvac (or n_glass kvac
+    with ``include_tir``), scanning |ox|,|oy| <= max_scan_order
+    (``grating.lua:406-423``).
+    """
+    assert convert_to_xy, "raw s/p output retired; x/y is the native basis"
+    dtype = dtype or _default_dtype()
+    orders, n_slabs = static_solve_config(g, [wavelength], numG)
+    fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms,
+                               np.dtype(dtype).name)
+    N = orders.shape[0]
+
+    if u_steps == 1:
+        ux_list = np.array([(ux_min + ux_max) / 2.0])
+        uy_list = np.array([(uy_min + uy_max) / 2.0])
+    else:
+        ux_list = np.linspace(ux_min, ux_max, u_steps)
+        uy_list = np.linspace(uy_min, uy_max, u_steps)
+    UX, UY = np.meshgrid(ux_list, uy_list, indexing="ij")
+    ux_flat, uy_flat = UX.ravel(), UY.ravel()
+    inside = ux_flat ** 2 + uy_flat ** 2 < 1.0
+    ux_flat, uy_flat = ux_flat[inside], uy_flat[inside]
+
+    ng, nt = resolve_indices(g.n_glass, g.n_tio2, wavelength)
+    ampf, ampr = fn(jnp.asarray(g.xyrra_list), g.grating_period,
+                    g.lateral_period, g.cyl_height, complex(nt) ** 2,
+                    complex(ng) ** 2, wavelength,
+                    jnp.asarray(ux_flat), jnp.asarray(uy_flat))
+    ampf = np.asarray(ampf)   # (B, 2, 2N)
+    ampr = np.asarray(ampr)
+
+    lam = wavelength
+    wavelength_in_nm = round(lam / nm)
+    mx = orders[:, 0].astype(float)
+    my = orders[:, 1].astype(float)
+    cutoff2 = (float(np.real(ng)) ** 2) if include_tir else 1.0
+    data = []
+    for b in range(len(ux_flat)):
+        Kx = ux_flat[b] + mx * lam / g.grating_period
+        Ky = uy_flat[b] + my * lam / g.lateral_period
+        prop = (Kx ** 2 + Ky ** 2) < cutoff2
+        scan_ok = (np.abs(orders[:, 0]) <= max_scan_order) & \
+                  (np.abs(orders[:, 1]) <= max_scan_order)
+        for i in np.nonzero(prop & scan_ok)[0]:
+            for p, pol_name in enumerate(("y", "x")):
+                data.append({
+                    "wavelength_in_nm": float(wavelength_in_nm),
+                    "x_or_y": pol_name,
+                    "ux": float(ux_flat[b]), "uy": float(uy_flat[b]),
+                    "ox": int(orders[i, 0]), "oy": int(orders[i, 1]),
+                    "ampfy": complex(ampf[b, p, i]),
+                    "ampfx": complex(ampf[b, p, i + N]),
+                    "ampry": complex(ampr[b, p, i]),
+                    "amprx": complex(ampr[b, p, i + N]),
+                })
+    if just_normal:
+        assert all(e["ux"] == 0.001 for e in data)
+        assert all(e["uy"] == 0.001 for e in data)
+        for entry in list(data):
+            for ux_sign, uy_sign in [(-1, 1), (-1, -1), (1, -1)]:
+                e2 = dict(entry)
+                e2["ux"] *= ux_sign
+                e2["uy"] *= uy_sign
+                data.append(e2)
+    return data

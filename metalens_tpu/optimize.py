@@ -1,0 +1,356 @@
+"""Unit-cell optimizers.
+
+Three optimizers over the same differentiable FOM:
+
+* :func:`optimize`  -- cyclic coordinate descent, exact parity with the
+  reference (``grating.py:685-745``): shuffled (ellipse, param) sweep, +-1nm
+  (+-0.3 deg) steps, repeat a winning step up to 10x, stop after a full pass
+  with no improvement.  Kept for parity testing and as a derivative-free
+  fallback.
+* :func:`optimize2` -- random simultaneous perturbation, parity with
+  ``grating.py:747-795``.
+* :func:`optimize_gradient` -- NEW: projected Adam through the solver's
+  exact shape derivatives, with the validate() constraints expressed as
+  differentiable penalties.  This is the TPU-native path: tens of FOM+grad
+  evaluations replace the reference's thousands of solves.
+
+All three honour the ``similar_to`` / ``how_similar`` trust region and print
+new records as spec-roundtrip ``repr`` strings (the reference's persistence
+mechanism, ``grating.py:739-741``).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .grating import Grating, GratingCollection, validate, resize
+from .engine import fom_of_grating, fom_value_and_grad
+from .units import nm, degree, pi, inf
+
+
+# --------------------------------------------------------------------------
+# parity optimizers (derivative-free)
+# --------------------------------------------------------------------------
+
+def optimize(mygrating_start, target_wavelength, similar_to=None,
+             how_similar=None, subfolder=None, numG=50, terms=None,
+             verbose=True):
+    """Cyclic coordinate descent (reference ``grating.py:685-745``).
+    ``subfolder`` is accepted for API parity and ignored (no temp dirs)."""
+    assert validate(mygrating_start, print_details=True,
+                    similar_to=similar_to, how_similar=how_similar)
+    mygrating = mygrating_start.copy()
+    xyrra_list = mygrating.xyrra_list
+    fom_now = fom_of_grating(mygrating, target_wavelength=target_wavelength,
+                             numG=numG, terms=terms)
+    if verbose:
+        print("fom now...", fom_now, flush=True)
+    found_optimum = False
+    things_to_try_changing = [(i, j) for i in range(xyrra_list.shape[0])
+                              for j in range(xyrra_list.shape[1])]
+    while found_optimum is False:
+        random.shuffle(things_to_try_changing)
+        found_optimum = True
+        for index in things_to_try_changing:
+            dont_bother_trying_opposite_change = False
+            if index[1] == 4:
+                changes = [-.3 * degree, .3 * degree]
+            else:
+                changes = [-1 * nm, 1 * nm]
+            for change in changes:
+                if dont_bother_trying_opposite_change is True:
+                    continue
+                for _ in range(10):
+                    xyrra_list[index] += change
+                    if not validate(mygrating, similar_to=similar_to,
+                                    how_similar=how_similar):
+                        xyrra_list[index] -= change
+                        break
+                    fom_new = fom_of_grating(
+                        mygrating, target_wavelength=target_wavelength,
+                        numG=numG, terms=terms)
+                    if fom_new < fom_now:
+                        xyrra_list[index] -= change
+                        break
+                    else:
+                        mygrating.standardize()
+                        assert validate(mygrating, similar_to=similar_to,
+                                        how_similar=how_similar)
+                        if verbose:
+                            print("#New record! ", fom_new)
+                            print("mygrating=" + repr(mygrating), flush=True)
+                            print("", flush=True)
+                        fom_now = fom_new
+                        found_optimum = False
+                        dont_bother_trying_opposite_change = True
+    return mygrating
+
+
+def optimize2(mygrating_start, target_wavelength, attempts=inf,
+              similar_to=None, how_similar=None, subfolder=None, numG=50,
+              terms=None, verbose=True, rng=None):
+    """Random simultaneous perturbation (reference ``grating.py:747-795``)."""
+    assert validate(mygrating_start, print_details=True,
+                    similar_to=similar_to, how_similar=how_similar)
+    rng = rng or np.random
+    mygrating = mygrating_start.copy()
+    xyrra_list = mygrating.xyrra_list
+    fom_now = fom_of_grating(mygrating, target_wavelength=target_wavelength,
+                             numG=numG, terms=terms)
+    if verbose:
+        print("fom now...", fom_now, flush=True)
+    max_change_array = np.empty_like(xyrra_list)
+    max_change_array[:, 0:4] = 1 * nm
+    max_change_array[:, 4] = 0.1 * degree
+    max_change_array /= xyrra_list.size
+    attempts_so_far = 0
+    while attempts_so_far < attempts:
+        attempts_so_far += 1
+        xyrra_list_change = max_change_array * (
+            2 * rng.random(size=xyrra_list.shape) - 1)
+        for _ in range(10):
+            xyrra_list += xyrra_list_change
+            if not validate(mygrating, similar_to=similar_to,
+                            how_similar=how_similar):
+                xyrra_list -= xyrra_list_change
+                break
+            fom_new = fom_of_grating(
+                mygrating, target_wavelength=target_wavelength,
+                numG=numG, terms=terms)
+            if fom_new < fom_now:
+                xyrra_list -= xyrra_list_change
+                break
+            else:
+                mygrating.standardize()
+                assert validate(mygrating, similar_to=similar_to,
+                                how_similar=how_similar, print_details=True)
+                if verbose:
+                    print("#New record! ", fom_new)
+                    print("mygrating=" + repr(mygrating), flush=True)
+                    print("", flush=True)
+                fom_now = fom_new
+    return mygrating
+
+
+# --------------------------------------------------------------------------
+# differentiable constraints + gradient optimizer
+# --------------------------------------------------------------------------
+
+def constraint_penalty(xyrra, grating_period, lateral_period,
+                       min_radius, min_gap, similar_to=None,
+                       how_similar=None, num_points: int = 48,
+                       sharpness: float = 4.0):
+    """Smooth penalty version of :func:`metalens_tpu.grating.validate`:
+    zero on (strictly) feasible geometry, growing quadratically outside.
+    Pure jnp, differentiable."""
+    x0, y0 = xyrra[:, 0], xyrra[:, 1]
+    rx, ry, ang = xyrra[:, 2], xyrra[:, 3], xyrra[:, 4]
+    pen = (jax.nn.relu(min_radius - rx) ** 2
+           + jax.nn.relu(min_radius - ry) ** 2).sum() / min_radius ** 2
+
+    theta = jnp.linspace(0.0, 2 * pi, num_points, endpoint=False)
+    dx0 = rx[:, None] * jnp.cos(theta)
+    dy0 = ry[:, None] * jnp.sin(theta)
+    ca, sa = jnp.cos(ang)[:, None], jnp.sin(ang)[:, None]
+    px = x0[:, None] + dx0 * ca - dy0 * sa        # (nE, P)
+    py = y0[:, None] + dx0 * sa + dy0 * ca
+
+    nE = xyrra.shape[0]
+    fx = px.reshape(-1)
+    fy = py.reshape(-1)
+    dx = jnp.mod(fx[:, None] - fx[None, :], grating_period)
+    dx = jnp.minimum(dx, grating_period - dx)
+    dy = jnp.mod(fy[:, None] - fy[None, :], lateral_period)
+    dy = jnp.minimum(dy, lateral_period - dy)
+    d2 = dx * dx + dy * dy
+    eid = jnp.repeat(jnp.arange(nE), num_points)
+    same = eid[:, None] == eid[None, :]
+    d2 = jnp.where(same, jnp.inf, d2)
+    viol = jax.nn.relu(min_gap - jnp.sqrt(d2 + 1e-30))
+    pen = pen + (viol ** 2).sum() / min_gap ** 2
+
+    # self vs own y-replica
+    d2s = (px[:, :, None] - px[:, None, :]) ** 2 + \
+          (py[:, :, None] - (py[:, None, :] + lateral_period)) ** 2
+    viol_s = jax.nn.relu(min_gap - jnp.sqrt(d2s + 1e-30))
+    pen = pen + (viol_s ** 2).sum() / min_gap ** 2
+
+    if similar_to is not None:
+        sim = jnp.asarray(similar_to)
+        rel_r = jnp.abs(xyrra[:, 2:4] - sim[:, 2:4]) / sim[:, 2:4]
+        pen = pen + (jax.nn.relu(rel_r - how_similar) ** 2).sum() / how_similar ** 2
+        for col, period in ((0, grating_period), (1, lateral_period),
+                            (4, 2 * pi)):
+            d = jnp.mod(xyrra[:, col] - sim[:, col], period)
+            d = jnp.minimum(d, period - d)
+            pen = pen + (jax.nn.relu(d / period - how_similar) ** 2).sum() / how_similar ** 2
+    return sharpness * pen
+
+
+def optimize_gradient(mygrating_start, target_wavelength, steps: int = 120,
+                      learning_rate=None, similar_to=None, how_similar=None,
+                      numG=50, terms=None, penalty_weight: float = 30.0,
+                      verbose=True, seed: int = 0):
+    """Gradient-ascent optimization of the FOM via autodiff through the
+    solver (Adam + differentiable constraint penalties + trust region).
+
+    Returns the best *validate()-feasible* iterate encountered.  Typically
+    reaches a better optimum than :func:`optimize` in ~100 FOM+grad
+    evaluations instead of thousands of FOM evaluations.
+    """
+    import optax
+    from .grating import min_diameter, min_distance
+
+    assert validate(mygrating_start, print_details=True,
+                    similar_to=similar_to, how_similar=how_similar)
+    g = mygrating_start.copy()
+    vg = fom_value_and_grad(g, target_wavelength=target_wavelength,
+                            numG=numG, terms=terms)
+    Lx, Ly = g.grating_period, g.lateral_period
+
+    def loss_and_grad(xyrra):
+        fom, dfom = vg(xyrra)
+        pen, dpen = jax.value_and_grad(constraint_penalty)(
+            xyrra, Lx, Ly, min_diameter / 2, min_distance,
+            similar_to, how_similar)
+        return fom, pen, dfom - penalty_weight * dpen  # ascend fom, descend pen
+
+    if learning_rate is None:
+        # Adam's per-parameter RMS normalization makes the step size the unit
+        # of motion: ~0.5 nm per step for lengths.  The rotation column rides
+        # the same normalized step (0.5e-9 rad would be uselessly small, so
+        # scale it up to ~0.03 deg equivalent).
+        learning_rate = 0.5 * nm
+    opt = optax.adam(learning_rate)
+    x = jnp.asarray(g.xyrra_list)
+    scale = jnp.ones_like(x).at[:, 4].set((0.03 * degree) / (0.5 * nm))
+    state = opt.init(x)
+
+    best_fom = fom_of_grating(g, target_wavelength=target_wavelength,
+                              numG=numG, terms=terms)
+    best_xyrra = np.array(g.xyrra_list, copy=True)
+    for step in range(steps):
+        fom, pen, grad_total = loss_and_grad(x)
+        updates, state = opt.update(-grad_total, state)
+        x = optax.apply_updates(x, updates * scale)
+        # feasibility bookkeeping on the host: keep the best iterate that
+        # passes the exact (non-smoothed) validate()
+        g.xyrra_list = np.asarray(x).copy()
+        if validate(g, similar_to=similar_to, how_similar=how_similar):
+            f_new = float(np.real(vg(x)[0]))
+            if f_new > best_fom:
+                best_fom = f_new
+                best_xyrra = np.asarray(x).copy()
+                if verbose:
+                    print(f"#step {step}: fom={best_fom:.6f} "
+                          f"pen={float(pen):.3g}")
+    g.xyrra_list = best_xyrra
+    g.standardize()
+    assert validate(g, similar_to=similar_to, how_similar=how_similar)
+    if verbose:
+        print("best fom:", best_fom)
+        print("mygrating=" + repr(g), flush=True)
+    return g
+
+
+# --------------------------------------------------------------------------
+# continuation over deflection angle
+# --------------------------------------------------------------------------
+
+def vary_angle(start_grating=None, end_angle=None, lens_type=None,
+               target_wavelength=None, start_grating_collection=None,
+               subfolder=None, numG=50, terms=None, use_gradient=False,
+               optimize2_attempts=200, verbose=True):
+    """Geometric continuation building a GratingCollection (reference
+    ``grating.py:820-918``): step the period by 1% per iteration, re-seed
+    from the previous solution via :func:`resize`, re-optimize under a 3%
+    trust region, until ``end_angle`` is crossed.
+
+    ``use_gradient=True`` swaps the inner loop for
+    :func:`optimize_gradient` (plus a short optimize2 polish), cutting the
+    per-step cost by ~an order of magnitude.
+    """
+    assert (start_grating_collection is None) != (
+        start_grating is None and target_wavelength is None)
+
+    if start_grating_collection is not None:
+        all_gratings = start_grating_collection
+    else:
+        if lens_type == "cyl":
+            all_gratings = GratingCollection(
+                target_wavelength=target_wavelength,
+                lateral_period=start_grating.lateral_period,
+                grating_list=[start_grating], lens_type="cyl")
+        else:
+            assert lens_type == "round"
+            angle_in_air = start_grating.get_angle_in_air(
+                target_wavelength=target_wavelength)
+            lateral_period = start_grating.lateral_period / math.tan(angle_in_air)
+            all_gratings = GratingCollection(
+                target_wavelength=target_wavelength,
+                lateral_period=lateral_period,
+                grating_list=[start_grating], lens_type="round")
+
+    change_each_step = 1.01
+    similarity_each_step = 0.03
+
+    while True:
+        if verbose:
+            print("grating collection so far:")
+            print(repr(all_gratings))
+
+        if all_gratings.lens_type == "cyl":
+            grating_prev = all_gratings.grating_list[-1]
+            grating_new_start = all_gratings.get_one(
+                grating_period=grating_prev.grating_period * change_each_step)
+        else:
+            grating_prev = all_gratings.grating_list[0]
+            grating_new_start = all_gratings.get_one(
+                lateral_period=grating_prev.lateral_period * change_each_step)
+        angle_in_air = grating_new_start.get_angle_in_air(
+            target_wavelength=all_gratings.target_wavelength)
+        if angle_in_air < end_angle and all_gratings.lens_type == "cyl":
+            break
+        if angle_in_air > end_angle and all_gratings.lens_type == "round":
+            break
+
+        if verbose:
+            print("Optimizing for angle_in_air = ", angle_in_air / degree,
+                  "degree")
+        grating_new_start = resize(grating_prev, grating_new_start)
+
+        if use_gradient:
+            grating_new = optimize_gradient(
+                grating_new_start,
+                target_wavelength=all_gratings.target_wavelength,
+                similar_to=grating_new_start.xyrra_list,
+                how_similar=similarity_each_step, numG=numG, terms=terms,
+                verbose=verbose)
+            grating_new = optimize2(
+                grating_new, attempts=optimize2_attempts,
+                target_wavelength=all_gratings.target_wavelength,
+                similar_to=grating_new_start.xyrra_list,
+                how_similar=similarity_each_step, numG=numG, terms=terms,
+                verbose=verbose)
+        else:
+            grating_new = optimize(
+                grating_new_start,
+                target_wavelength=all_gratings.target_wavelength,
+                similar_to=grating_new_start.xyrra_list,
+                how_similar=similarity_each_step, numG=numG, terms=terms,
+                verbose=verbose)
+            grating_new = optimize2(
+                grating_new, attempts=optimize2_attempts,
+                target_wavelength=all_gratings.target_wavelength,
+                similar_to=grating_new_start.xyrra_list,
+                how_similar=similarity_each_step, numG=numG, terms=terms,
+                verbose=verbose)
+
+        all_gratings.add_one(grating_new)
+
+    return all_gratings
