@@ -1,0 +1,425 @@
+"""Full-lens near-field assembly (the stitcher).
+
+Reconstructs the complex E/H field just behind the whole lens aperture from
+the per-unit-cell amplitude databases: every aperture point is classified to
+its lens element (periphery ring + azimuthal copy, or center hex cell), the
+local incidence direction from the source is computed, the cell's complex
+transmission amplitudes are interpolated, and the transverse fields are
+rebuilt in the S4 x/y output basis with the off-center and air-propagation
+phases applied.  Functional parity with reference ``nearfield.py:66-516``.
+
+TPU-first differences from the reference:
+
+* all heavy arithmetic is jnp (device-resident, works under jit); the
+  per-order accumulation is dense multiply-by-mask instead of boolean fancy
+  indexing (reference ``nearfield.py:279-327``) -- no dynamic shapes;
+* the center-cell lookup replaces scipy cKDTree (reference
+  ``nearfield.py:363-367``) with analytic hexagonal-lattice rounding plus a
+  dense (n1, n2) -> site-index table: O(1) per point, jit-compatible;
+* ``build_nearfield_big``'s RAM-slab loop is kept for API parity, and the
+  sharded path (:mod:`metalens_tpu.parallel`) splits the aperture across
+  devices instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import units as nu
+from .geometry import good_fft_number
+from .materials import n_glass as n_glass_table
+from .units import nm, pi, inf
+
+
+def _hex_site_table(lens_center_summary, pitch):
+    """Build the dense (n1, n2) -> row-index table for the hex lattice
+    x = pitch*n2*sqrt(3)/2, y = pitch*(n1 + n2/2) (the lattice of
+    :func:`metalens_tpu.assembly.hexagonal_grid`)."""
+    xy = np.asarray(lens_center_summary)[:, 0:2]
+    n2 = np.round(2 * xy[:, 0] / (pitch * math.sqrt(3))).astype(int)
+    n1 = np.round(xy[:, 1] / pitch - n2 / 2.0).astype(int)
+    # verify the inversion is exact (sites really are on the lattice)
+    x_back = pitch * n2 * math.sqrt(3) / 2
+    y_back = pitch * (n1 + n2 / 2.0)
+    assert np.abs(x_back - xy[:, 0]).max() < 1e-6 * pitch
+    assert np.abs(y_back - xy[:, 1]).max() < 1e-6 * pitch
+    n1_min, n2_min = n1.min() - 2, n2.min() - 2
+    table = -np.ones((n1.max() - n1_min + 5, n2.max() - n2_min + 5),
+                     dtype=np.int32)
+    table[n1 - n1_min, n2 - n2_min] = np.arange(len(xy), dtype=np.int32)
+    return jnp.asarray(table), n1_min, n2_min
+
+
+def _nearest_center_site(x, y, table, n1_min, n2_min, pitch, site_xy):
+    """Index of the nearest stored hex site for each (x, y), via analytic
+    lattice rounding with a 3x3 candidate neighborhood (replaces cKDTree)."""
+    n2f = 2 * x / (pitch * math.sqrt(3))
+    n1f = y / pitch - n2f / 2.0
+    n1r = jnp.floor(n1f).astype(jnp.int32)
+    n2r = jnp.floor(n2f).astype(jnp.int32)
+    best_d2 = jnp.full(x.shape, jnp.inf)
+    best_idx = jnp.zeros(x.shape, dtype=jnp.int32)
+    for di in (0, 1, -1, 2):
+        for dj in (0, 1, -1, 2):
+            n1c = n1r + di
+            n2c = n2r + dj
+            i1 = jnp.clip(n1c - n1_min, 0, table.shape[0] - 1)
+            i2 = jnp.clip(n2c - n2_min, 0, table.shape[1] - 1)
+            row = table[i1, i2]
+            valid = (row >= 0) & (n1c - n1_min == i1) & (n2c - n2_min == i2)
+            safe_row = jnp.maximum(row, 0)
+            sx = site_xy[safe_row, 0]
+            sy = site_xy[safe_row, 1]
+            d2 = jnp.where(valid, (x - sx) ** 2 + (y - sy) ** 2, jnp.inf)
+            take = d2 < best_d2
+            best_d2 = jnp.where(take, d2, best_d2)
+            best_idx = jnp.where(take, safe_row, best_idx)
+    return best_idx
+
+
+def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
+                    lens_periphery_summary, lens_center_summary, hexgridset,
+                    x_pts=None, y_pts=None,
+                    dipole_moment=1e-30 * nu.C * nu.m, progress=False):
+    """Near-field of the whole lens on the aperture grid.
+
+    Source: point dipole at (source_x, source_y, source_z<0) polarized along
+    ``source_pol`` in ('x','y','z'), Lambertian-weighted (uz^0.5 field
+    scaling); or a normally-incident plane wave if ``source_z == -inf`` with
+    ``dipole_moment`` as the E-field magnitude (reference
+    ``nearfield.py:66-83``).
+
+    Returns (Ex, Ey, Hx, Hy, x_pts, y_pts, power_passing_through_lens,
+    n_glass); fields are jnp complex arrays of shape (len(x_pts),
+    len(y_pts)).  ``lens_periphery_summary`` may be None for a center-only
+    lens.
+    """
+    assert source_z < 0
+    assert source_pol in ("x", "y", "z")
+    wavelength_in_nm = int(round(wavelength / nm))
+
+    have_periphery = lens_periphery_summary is not None
+    if have_periphery:
+        r_min_list = lens_periphery_summary["r_min_list"]
+        r_max_list = lens_periphery_summary["r_max_list"]
+        r_center_list = lens_periphery_summary["r_center_list"]
+        gc_index_here = lens_periphery_summary["gratingcollection_index_here_list"]
+        num_around_circle_list = lens_periphery_summary["num_around_circle_list"]
+        grating_period_list = lens_periphery_summary["grating_period_list"]
+        gratingcollection_list = lens_periphery_summary["gratingcollection_list"]
+        lens_max_r = r_max_list[-1]
+        n_glass = gratingcollection_list[0].grating_list[0].n_glass
+    else:
+        assert lens_center_summary is not None and len(lens_center_summary) > 0
+        r_min_list = np.zeros((0,))
+        lens_max_r = (np.hypot(lens_center_summary[:, 0],
+                               lens_center_summary[:, 1]).max()
+                      + hexgridset.sep)
+        n_glass = hexgridset.n_glass
+        gratingcollection_list = []
+    if n_glass == 0:
+        n_glass = n_glass_table(wavelength_in_nm)
+
+    if x_pts is None:
+        num_x = good_fft_number(2 * lens_max_r / (wavelength / 2.2))
+        x_pts = np.linspace(-lens_max_r, lens_max_r, num=num_x)
+    else:
+        num_x = len(x_pts)
+    if y_pts is None:
+        num_y = good_fft_number(2 * lens_max_r / (wavelength / 2.2))
+        y_pts = np.linspace(-lens_max_r, lens_max_r, num=num_y)
+    else:
+        num_y = len(y_pts)
+    for l in (x_pts, y_pts):
+        diffs = np.diff(l)
+        assert 0 < diffs[0] < wavelength / 2
+        assert diffs.max() - diffs.min() <= 1e-9 * np.abs(diffs).max()
+
+    k_glass = 2 * pi * n_glass / wavelength
+    kvac = 2 * pi / wavelength
+
+    X, Y = jnp.meshgrid(jnp.asarray(x_pts), jnp.asarray(y_pts), indexing="ij")
+    lens_r = jnp.sqrt(X ** 2 + Y ** 2)
+    lens_phi = jnp.arctan2(Y, X)
+
+    # ring classification (reference nearfield.py:125-128)
+    if have_periphery:
+        ring_boundaries = jnp.asarray(np.hstack((r_min_list, lens_max_r)))
+        which_ring = jnp.searchsorted(ring_boundaries, lens_r) - 1
+        in_center = which_ring == -1
+        which_ring = jnp.where(which_ring == len(r_min_list), -1, which_ring)
+        safe_ring = jnp.maximum(which_ring, 0)
+        which_gc = jnp.where(which_ring == -1, -1,
+                             jnp.asarray(gc_index_here)[safe_ring])
+        grating_period = jnp.asarray(grating_period_list)[safe_ring]
+        angle_per_grating = 2 * pi / jnp.asarray(num_around_circle_list)[safe_ring]
+        r_center = jnp.asarray(r_center_list)[safe_ring]
+        lateral_period = r_center * angle_per_grating
+        grating_rotation = jnp.round(lens_phi / angle_per_grating) * angle_per_grating
+    else:
+        in_center = lens_r < lens_max_r
+        which_gc = jnp.where(in_center, -1, -1)
+        grating_period = jnp.ones_like(lens_r)
+        lateral_period = jnp.ones_like(lens_r)
+        r_center = jnp.zeros_like(lens_r)
+        grating_rotation = jnp.zeros_like(lens_r)
+
+    gratingcenter_x = r_center * jnp.cos(grating_rotation)
+    gratingcenter_y = r_center * jnp.sin(grating_rotation)
+    dz = 0.0 - source_z
+    if source_z == -inf:
+        ux = jnp.zeros_like(X)
+        uy = jnp.zeros_like(X)
+        uz = jnp.ones_like(X)
+        distance = None
+    else:
+        dx = X - source_x
+        dy = Y - source_y
+        distance = jnp.sqrt(dx ** 2 + dy ** 2 + dz ** 2)
+        ux = dx / distance
+        uy = dy / distance
+        uz = dz / distance
+
+    cosr, sinr = jnp.cos(grating_rotation), jnp.sin(grating_rotation)
+    uxp = ux * cosr + uy * sinr
+    uyp = -ux * sinr + uy * cosr
+    xp = X * cosr + Y * sinr - r_center
+    yp = -X * sinr + Y * cosr
+
+    # source fields at the aperture (everything except the e^{ikr} phase,
+    # reference nearfield.py:207-228); Lambertian uz^0.5 scaling
+    pol_vector = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1]}[source_pol]
+    H_coef = nu.c0 * (2 * pi / wavelength) ** 2 * dipole_moment / (4 * pi)
+    if source_z > -inf:
+        s = H_coef * uz ** 0.5 / distance
+        dipole_field_Hx = (uy * pol_vector[2] - uz * pol_vector[1]) * s
+        dipole_field_Hy = (uz * pol_vector[0] - ux * pol_vector[2]) * s
+        dipole_field_Hz = (ux * pol_vector[1] - uy * pol_vector[0]) * s
+        dipole_field_Ex = (dipole_field_Hy * uz - dipole_field_Hz * uy) * nu.Z0
+        dipole_field_Ey = (dipole_field_Hz * ux - dipole_field_Hx * uz) * nu.Z0
+    else:
+        assert source_pol != "z"
+        one = jnp.ones_like(X)
+        dipole_field_Ex = pol_vector[0] * dipole_moment * one
+        dipole_field_Ey = pol_vector[1] * dipole_moment * one
+        dipole_field_Hx = -pol_vector[1] * dipole_moment / nu.Z0 * one
+        dipole_field_Hy = pol_vector[0] * dipole_moment / nu.Z0 * one
+
+    dipole_field_Hxp = dipole_field_Hx * cosr + dipole_field_Hy * sinr
+    dipole_field_Hyp = -dipole_field_Hx * sinr + dipole_field_Hy * cosr
+    # weights of the unit-amplitude 'x'/'y' simulations reproducing the
+    # incident H (reference nearfield.py:237-247)
+    H_xp_weight = dipole_field_Hyp
+    H_yp_weight = dipole_field_Hxp
+
+    cdtype = jnp.complex128 if X.dtype == jnp.float64 else jnp.complex64
+    Exp = jnp.zeros(X.shape, dtype=cdtype)
+    Eyp = jnp.zeros(X.shape, dtype=cdtype)
+    Hxp = jnp.zeros(X.shape, dtype=cdtype)
+    Hyp = jnp.zeros(X.shape, dtype=cdtype)
+
+    # ---- periphery accumulation: dense masked per-(gc, order) ----
+    for gc_index, gc in enumerate(gratingcollection_list):
+        all_orders = {(e["ox"], e["oy"]) for g in gc.grating_list
+                      for e in g.data}
+        bounds = gc.interpolator_bounds
+        gc_mask = which_gc == gc_index
+        if not bool(jnp.any(gc_mask)):
+            continue
+        # bounds checks, matching the reference's explicit raises
+        # (nearfield.py:294-305)
+        for name, arr, lo, hi in (("ux", uxp, bounds[0], bounds[1]),
+                                  ("uy", uyp, bounds[2], bounds[3]),
+                                  ("grating_period", grating_period,
+                                   bounds[4], bounds[5])):
+            amin = float(jnp.where(gc_mask, arr, jnp.inf).min())
+            amax = float(jnp.where(gc_mask, arr, -jnp.inf).max())
+            if amin < lo:
+                raise ValueError(f"need to calculate at smaller {name}!",
+                                 amin, lo)
+            if amax > hi:
+                raise ValueError(f"need to calculate at bigger {name}!",
+                                 amax, hi)
+        pts = jnp.stack([uxp.ravel(), uyp.ravel(),
+                         grating_period.ravel()], axis=1)
+        for (ox, oy) in sorted(all_orders):
+            kxp = kvac * uxp + ox * 2 * pi / grating_period
+            kyp = kvac * uyp + oy * 2 * pi / lateral_period
+            mask = (kxp ** 2 + kyp ** 2 <= kvac ** 2) & gc_mask
+            n_pts = int(mask.sum())
+            if n_pts == 0:
+                continue
+            if progress:
+                print(f"diffraction order ({ox},{oy}) of gc {gc_index}; "
+                      f"applies at {n_pts} points", flush=True)
+            kzp = jnp.sqrt(jnp.maximum(k_glass ** 2 - kxp ** 2 - kyp ** 2,
+                                       1e-12 * kvac ** 2))
+            phase = jnp.exp(1j * (kxp * xp + kyp * yp)) * mask
+            for x_or_y in ("x", "y"):
+                H_w = H_xp_weight if x_or_y == "x" else H_yp_weight
+                E_w = H_w * nu.Z0
+                for which_amp in ("ampfy", "ampfx"):
+                    f = gc.interpolators[(wavelength_in_nm, (ox, oy),
+                                          x_or_y, which_amp)]
+                    amps = f(pts).reshape(X.shape)
+                    contrib = amps * phase
+                    if which_amp == "ampfy":
+                        Exp = Exp + E_w * contrib * kxp * kyp / (k_glass * kzp) / n_glass
+                        Eyp = Eyp + E_w * contrib * (-kxp ** 2 - kzp ** 2) / (k_glass * kzp) / n_glass
+                        Hxp = Hxp + H_w * contrib
+                    else:
+                        Exp = Exp + E_w * contrib * (kyp ** 2 + kzp ** 2) / (k_glass * kzp) / n_glass
+                        Eyp = Eyp + E_w * contrib * (-kxp * kyp) / (k_glass * kzp) / n_glass
+                        Hyp = Hyp + H_w * contrib
+
+    # air propagation phase to the grating center (reference
+    # nearfield.py:333-347), then rotate back to lab frame
+    if source_z > -inf and have_periphery:
+        air_dist = jnp.sqrt((gratingcenter_x - source_x) ** 2
+                            + (gratingcenter_y - source_y) ** 2
+                            + source_z ** 2)
+        eikr = jnp.exp(1j * kvac * air_dist)
+        Exp, Eyp, Hxp, Hyp = Exp * eikr, Eyp * eikr, Hxp * eikr, Hyp * eikr
+
+    Ex = Exp * cosr - Eyp * sinr
+    Ey = Exp * sinr + Eyp * cosr
+    Hx = Hxp * cosr - Hyp * sinr
+    Hy = Hxp * sinr + Hyp * cosr
+
+    # ---- center accumulation ----
+    if lens_center_summary is not None and len(lens_center_summary) > 0:
+        site_xy = jnp.asarray(np.asarray(lens_center_summary)[:, 0:2])
+        pitch = hexgridset.sep
+        table, n1_min, n2_min = _hex_site_table(lens_center_summary, pitch)
+        rows = _nearest_center_site(X, Y, table, n1_min, n2_min, pitch,
+                                    site_xy)
+        cell_center_x = site_xy[rows, 0]
+        cell_center_y = site_xy[rows, 1]
+        which_grating = jnp.asarray(
+            np.asarray(lens_center_summary)[:, 2])[rows]
+
+        H_x_weight = dipole_field_Hy
+        H_y_weight = dipole_field_Hx
+
+        all_orders = {(e["ox"], e["oy"]) for g in hexgridset.grating_list
+                      for e in g.data}
+        x_period = hexgridset.grating_list[0].grating_period
+        y_period = hexgridset.grating_list[0].lateral_period
+        b = hexgridset.interpolator_bounds
+        cmask_any = in_center
+        for name, arr, lo, hi in (("ux", ux, b[0], b[1]),
+                                  ("uy", uy, b[2], b[3])):
+            amin = float(jnp.where(cmask_any, arr, jnp.inf).min())
+            amax = float(jnp.where(cmask_any, arr, -jnp.inf).max())
+            if amin < lo:
+                raise ValueError(f"need to calculate at smaller {name}!",
+                                 amin, lo)
+            if amax > hi:
+                raise ValueError(f"need to calculate at bigger {name}!",
+                                 amax, hi)
+        pts = jnp.stack([ux.ravel(), uy.ravel(),
+                         which_grating.astype(jnp.float64
+                                              if X.dtype == jnp.float64
+                                              else jnp.float32).ravel()],
+                        axis=1)
+
+        Exc = jnp.zeros(X.shape, dtype=cdtype)
+        Eyc = jnp.zeros(X.shape, dtype=cdtype)
+        Hxc = jnp.zeros(X.shape, dtype=cdtype)
+        Hyc = jnp.zeros(X.shape, dtype=cdtype)
+        for (ox, oy) in sorted(all_orders):
+            kx = kvac * ux + ox * 2 * pi / x_period
+            ky = kvac * uy + oy * 2 * pi / y_period
+            mask = (kx ** 2 + ky ** 2 <= kvac ** 2) & in_center
+            n_pts = int(mask.sum())
+            if n_pts == 0:
+                continue
+            if progress:
+                print(f"diffraction order ({ox},{oy}) of center; applies at "
+                      f"{n_pts} points", flush=True)
+            kz = jnp.sqrt(jnp.maximum(k_glass ** 2 - kx ** 2 - ky ** 2,
+                                      1e-12 * kvac ** 2))
+            phase = jnp.exp(1j * (kx * (X - cell_center_x)
+                                  + ky * (Y - cell_center_y))) * mask
+            for x_or_y in ("x", "y"):
+                H_w = H_x_weight if x_or_y == "x" else H_y_weight
+                E_w = H_w * nu.Z0
+                for which_amp in ("ampfy", "ampfx"):
+                    f = hexgridset.interpolators[(wavelength_in_nm, (ox, oy),
+                                                  x_or_y, which_amp)]
+                    amps = f(pts).reshape(X.shape)
+                    contrib = amps * phase
+                    if which_amp == "ampfy":
+                        Exc = Exc + E_w * contrib * kx * ky / (k_glass * kz) / n_glass
+                        Eyc = Eyc + E_w * contrib * (-kx ** 2 - kz ** 2) / (k_glass * kz) / n_glass
+                        Hxc = Hxc + H_w * contrib
+                    else:
+                        Exc = Exc + E_w * contrib * (ky ** 2 + kz ** 2) / (k_glass * kz) / n_glass
+                        Eyc = Eyc + E_w * contrib * (-kx * ky) / (k_glass * kz) / n_glass
+                        Hyc = Hyc + H_w * contrib
+        if source_z > -inf:
+            air_dist = jnp.sqrt((cell_center_x - source_x) ** 2
+                                + (cell_center_y - source_y) ** 2
+                                + source_z ** 2)
+            eikr = jnp.exp(1j * kvac * air_dist)
+            Exc, Eyc, Hxc, Hyc = (Exc * eikr, Eyc * eikr, Hxc * eikr,
+                                  Hyc * eikr)
+        Ex = Ex + Exc
+        Ey = Ey + Eyc
+        Hx = Hx + Hxc
+        Hy = Hy + Hyc
+        in_lens = (which_gc != -1) | in_center
+    else:
+        in_lens = which_gc != -1
+
+    local_power_z = (dipole_field_Ex * dipole_field_Hy
+                     - dipole_field_Ey * dipole_field_Hx)
+    power_passing_through_lens = float(
+        jnp.where(in_lens, local_power_z, 0.0).sum()
+        * (x_pts[1] - x_pts[0]) * (y_pts[1] - y_pts[0]))
+
+    return Ex, Ey, Hx, Hy, x_pts, y_pts, power_passing_through_lens, n_glass
+
+
+def build_nearfield_big(source_x, source_y, source_z, source_pol, wavelength,
+                        lens_periphery_summary, lens_center_summary,
+                        hexgridset, x_pts=None, y_pts=None,
+                        dipole_moment=1e-30 * nu.C * nu.m,
+                        pts_at_a_time=1e7, progress=True):
+    """Slab-chunked wrapper of :func:`build_nearfield` (API parity with
+    reference ``nearfield.py:482-516``).  On TPU the single-call version is
+    preferred (HBM-resident); use the sharded runner in
+    :mod:`metalens_tpu.parallel` for multi-chip apertures."""
+    y_pts_at_a_time = max(1, int(pts_at_a_time / x_pts.size))
+    Ex = np.zeros((x_pts.size, y_pts.size), dtype=complex)
+    Ey = np.zeros_like(Ex)
+    Hx = np.zeros_like(Ex)
+    Hy = np.zeros_like(Ex)
+    power_passing_through_lens = 0.0
+    start = 0
+    n_glass = None
+    while start < y_pts.size:
+        end = min(start + y_pts_at_a_time, y_pts.size)
+        if progress:
+            print("running y-index", start, "to", end, "out of", y_pts.size,
+                  flush=True)
+        out = build_nearfield(source_x=source_x, source_y=source_y,
+                              source_z=source_z, source_pol=source_pol,
+                              wavelength=wavelength,
+                              lens_periphery_summary=lens_periphery_summary,
+                              lens_center_summary=lens_center_summary,
+                              hexgridset=hexgridset, x_pts=x_pts,
+                              y_pts=y_pts[start:end],
+                              dipole_moment=dipole_moment)
+        Ex[:, start:end] = np.asarray(out[0])
+        Ey[:, start:end] = np.asarray(out[1])
+        Hx[:, start:end] = np.asarray(out[2])
+        Hy[:, start:end] = np.asarray(out[3])
+        power_passing_through_lens += out[6]
+        n_glass = out[7]
+        start = end
+    return (Ex, Ey, Hx, Hy, x_pts, y_pts, power_passing_through_lens,
+            n_glass)

@@ -1,0 +1,87 @@
+"""Far-field transform calibration tests: the reference's own known-answer
+checks (empty aperture = 100% transmission, ``nearfield_farfield.py:188``)
+plus directionality."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from metalens_tpu.farfield import farfield
+from metalens_tpu import units as nu
+from metalens_tpu.units import nm
+
+LAM = 580 * nm
+NG = 1.459
+
+
+def plane_wave_aperture(n_pts, spacing, ux0=0.0):
+    """Fields of a unit-E x-polarized plane wave in glass traveling at
+    direction cosine ux0, sampled on the aperture plane."""
+    xs = (np.arange(n_pts) - n_pts / 2) * spacing
+    ys = (np.arange(n_pts) - n_pts / 2) * spacing
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    kg = 2 * np.pi * NG / LAM
+    uz0 = np.sqrt(1 - ux0 ** 2)
+    phase = np.exp(1j * kg * ux0 * X)
+    Ex = phase
+    Ey = np.zeros_like(Ex)
+    # H = (n/Z0) khat x E; for E = x-hat * e^{i k.r}, k = (ux0, 0, uz0) kg:
+    # H = (n/Z0) (ux0,0,uz0) x (1,0,0) * phase = (n/Z0)(0, uz0, 0) * phase
+    Hy = NG / nu.Z0 * uz0 * phase
+    Hx = np.zeros_like(Ex)
+    return Ex, Ey, Hx, Hy, xs, ys
+
+
+def test_empty_aperture_calibration():
+    """Uniform normally-propagating plane wave over the aperture: total
+    far-field power must equal the power through the aperture (this is the
+    calibration that fixes the x2 factor)."""
+    n_pts, spacing = 192, LAM / 2.2
+    Ex, Ey, Hx, Hy, xs, ys = plane_wave_aperture(n_pts, spacing)
+    P, total_P, ux, uy, dux, duy = farfield(Ex, Ey, Hx, Hy, xs, ys, LAM, NG)
+    area = (n_pts * spacing) ** 2
+    power_in = area * NG / nu.Z0 * 1.0  # Ex*Hy convention, no 1/2 factor
+    assert abs(total_P / power_in - 1.0) < 1e-3
+
+
+def test_tilted_plane_wave_peaks_at_its_direction():
+    n_pts, spacing = 192, LAM / 2.2
+    ux0 = 0.3
+    Ex, Ey, Hx, Hy, xs, ys = plane_wave_aperture(n_pts, spacing, ux0=ux0)
+    P, total_P, ux, uy, dux, duy = farfield(Ex, Ey, Hx, Hy, xs, ys, LAM, NG)
+    Pz = np.asarray(jnp.where(jnp.isfinite(P), P, 0.0))
+    i, j = np.unravel_index(np.argmax(Pz), Pz.shape)
+    assert abs(np.asarray(ux).ravel()[i] - ux0) < 2 * dux
+    assert abs(np.asarray(uy).ravel()[j]) < 2 * duy
+    # energy still accounted (slightly less than unity: tilt reduces the
+    # projected power by uz0 and the x2-calibrated formula tracks it)
+    area = (n_pts * spacing) ** 2
+    uz0 = np.sqrt(1 - ux0 ** 2)
+    power_in = area * NG / nu.Z0 * uz0
+    assert abs(total_P / power_in - 1.0) < 2e-2
+
+
+def test_focused_phase_profile_spot():
+    """A converging spherical phase across the aperture concentrates power
+    into the angular cone of its NA."""
+    n_pts, spacing = 256, LAM / 2.2
+    xs = (np.arange(n_pts) - n_pts / 2) * spacing
+    ys = xs.copy()
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    R = n_pts * spacing / 2
+    f = 2 * R  # NA ~ 0.45 in glass
+    kg = 2 * np.pi * NG / LAM
+    aperture = (X ** 2 + Y ** 2 < R ** 2)
+    phase = np.exp(-1j * kg * (np.sqrt(f ** 2 + X ** 2 + Y ** 2) - f))
+    Ex = aperture * phase
+    Hy = NG / nu.Z0 * Ex
+    zero = np.zeros_like(Ex)
+    P, total_P, ux, uy, dux, duy = farfield(Ex, zero, zero, Hy, xs, ys,
+                                            LAM, NG)
+    Pz = np.asarray(jnp.where(jnp.isfinite(P), P, 0.0))
+    na = R / np.sqrt(R ** 2 + f ** 2)
+    UX = np.asarray(ux).reshape(-1, 1)
+    UY = np.asarray(uy).reshape(1, -1)
+    in_cone = UX ** 2 + UY ** 2 < (1.1 * na) ** 2
+    frac = (Pz * in_cone).sum() / Pz.sum()
+    assert frac > 0.95
