@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Headline benchmark: RCWA unit-cell solves/sec on one chip.
+
+One "solve" = one full unit-cell S-matrix solve (air / patterned pillar
+layer / glass) at numG=50 -- the configuration of the reference's
+optimization loop (reference ``grating.py:205`` numG=50 default; each
+reference FOM evaluation spawns one S4.exe process whose work is exactly one
+such solve per wavelength).  Both incident polarizations come out of each
+solve.  The BASELINE.md north-star target is >= 10^3 solves/sec/chip;
+``vs_baseline`` is value / 1000.
+
+Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--numG", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (debug); default uses the configured "
+                         "JAX platform (TPU under the driver)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from metalens_tpu.solver import cpx, orders as ordmod, rcwa
+    from metalens_tpu.units import nm
+
+    LX, LY = 1200 * nm, 320 * nm
+    LAM = 580 * nm
+    H = 550 * nm
+    NT, NG = 2.372, 1.459
+    numG = args.numG
+    B = args.batch
+
+    orders = ordmod.select_orders(LX, LY, numG)
+    i0 = ordmod.order_index(orders, 0, 0)
+    q2 = rcwa.q2_upper_bound(orders, LX, LY, LAM, NT ** 2)
+    n_slabs = rcwa.default_n_slabs(2 * np.pi * H / LAM, q2)
+
+    rng = np.random.default_rng(0)
+    base = np.array([[-215 * nm, 2 * nm, 144 * nm, 111 * nm, 0.0],
+                     [196 * nm, -8 * nm, 100 * nm, 130 * nm, 0.1]])
+    xyrra = np.stack([base + rng.normal(scale=2 * nm, size=base.shape)
+                      for _ in range(B)]).astype(np.float32)
+    ux = np.linspace(0.35, 0.55, B).astype(np.float32)
+    uy = np.zeros(B, dtype=np.float32)
+
+    def solve_one(xy, ux1, uy1):
+        S, Kx, Ky = rcwa.cell_smatrix(
+            orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
+            n_slabs=n_slabs, taylor_terms=10)
+        c = jnp.zeros((2 * numG, 2), dtype=xy.dtype)
+        c = c.at[i0, 0].set(1.0).at[i0 + numG, 1].set(1.0)
+        return S.s11 @ c, S.s21 @ c
+
+    fn = jax.jit(jax.vmap(solve_one))
+
+    xyrra_d = jnp.asarray(xyrra)
+    ux_d = jnp.asarray(ux)
+    uy_d = jnp.asarray(uy)
+
+    # warmup/compile; materialize to host (on this backend runtime errors
+    # surface only at fetch, and block_until_ready alone can lie)
+    out = fn(xyrra_d, ux_d, uy_d)
+    sink = np.asarray(out[0].re)
+    assert np.isfinite(sink).all()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fn(xyrra_d, ux_d, uy_d)
+        np.asarray(out[0].re)
+    dt = time.perf_counter() - t0
+
+    solves_per_sec = B * args.iters / dt
+    print(json.dumps({
+        "metric": f"rcwa_unit_cell_solves_per_sec_per_chip_numG{numG}",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,29 +21,42 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .solver import cpx
+
 
 class AmpInterpolator:
     """Multilinear interpolation of a complex grid over an N-d rectilinear
-    coordinate system.  Call with an (M, ndim) array of query points; returns
-    (M,) complex.  Degenerate (length-1) axes behave as constants.  Queries
-    are clamped to the grid (callers enforce bounds explicitly, matching the
-    reference's pattern of pre-checking ``interpolator_bounds``,
-    ``nearfield.py:294-305``)."""
+    coordinate system.  Internally the values are a *real* array with a
+    trailing (re, im) channel so the interpolation runs on the TPU backend
+    (no complex dtypes there).
+
+    ``__call__`` with an (M, ndim) array returns (M,) host numpy complex
+    (matching the reference's RegularGridInterpolator usage); ``pair``
+    returns the device-resident :class:`~metalens_tpu.solver.cpx.C` pair for
+    use inside device programs.  Degenerate (length-1) axes behave as
+    constants.  Queries are clamped to the grid (callers enforce bounds
+    explicitly, matching the reference's pattern of pre-checking
+    ``interpolator_bounds``, ``nearfield.py:294-305``)."""
 
     def __init__(self, grids, values):
         self.grids = tuple(jnp.asarray(np.asarray(g, dtype=float))
                            for g in grids)
-        self.values = jnp.asarray(values)
-        assert self.values.ndim == len(self.grids)
+        values = np.asarray(values)
+        assert values.ndim == len(self.grids)
         for ax, g in enumerate(self.grids):
-            assert self.values.shape[ax] == g.shape[0]
+            assert values.shape[ax] == g.shape[0]
+        self.values = jnp.asarray(
+            np.stack([values.real, values.imag], axis=-1))
 
     def __call__(self, pts):
+        return cpx.to_np(self.pair(pts))
+
+    def pair(self, pts) -> cpx.C:
         pts = jnp.asarray(pts)
         if pts.ndim == 1:
             pts = pts[None, :]
         out = self._interp(pts)
-        return out
+        return cpx.C(out[:, 0], out[:, 1])
 
     def _interp(self, pts):
         idxs, ws = [], []
@@ -60,7 +73,7 @@ class AmpInterpolator:
             idxs.append(i)
             ws.append(w)
         ndim = len(self.grids)
-        out = jnp.zeros(pts.shape[0], dtype=self.values.dtype)
+        out = jnp.zeros((pts.shape[0], 2), dtype=self.values.dtype)
         for corner in range(2 ** ndim):
             weight = jnp.ones(pts.shape[0])
             coords = []
@@ -73,7 +86,7 @@ class AmpInterpolator:
                     continue
                 coords.append(idxs[ax] + hi)
                 weight = weight * jnp.where(hi, ws[ax], 1.0 - ws[ax])
-            out = out + weight.astype(self.values.dtype) * self.values[tuple(coords)]
+            out = out + weight[:, None] * self.values[tuple(coords)]
         return out
 
 

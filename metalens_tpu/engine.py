@@ -13,6 +13,10 @@ reference runs two full RCWA solves, ``grating.lua:320-323``), and because
 the program is differentiable end-to-end it also supplies exact gradients to
 the gradient optimizer -- the capability the reference's derivative-free
 loops lack (``grating.py:685-795``).
+
+All device complex arithmetic is the :mod:`metalens_tpu.solver.cpx`
+real-pair representation (the TPU backend has no complex dtypes); results
+cross back to host numpy complex here, at the API boundary.
 """
 
 from __future__ import annotations
@@ -26,13 +30,14 @@ import jax
 import jax.numpy as jnp
 
 from .materials import resolve_indices
-from .solver import basis, orders as ordmod, rcwa
+from .solver import basis, cpx, orders as ordmod, rcwa
+from .solver.cpx import C
 from .solver.fom import FomTerm, DEFAULT_FOM_TERMS, term_score
 from .units import nm, pi
 
 
-def _default_dtype():
-    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+def _default_rdtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def _orders_key(orders):
@@ -60,17 +65,16 @@ def static_solve_config(g, wavelengths, numG):
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _fom_program(orders_key, n_slabs: int, taylor_terms: int, dtype_name: str,
+def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
                  target_idx: tuple, inphase: tuple, with_grad: bool):
     """Build (and cache) the jitted FOM program for a static configuration.
 
-    Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p, eps_g, lam,
-    ux (incidence direction cosine), n_glass_now, cos_theta, weights.
+    Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p (C), eps_g (C),
+    lam, ux, n_glass_now, cos_theta, weights.
     """
     orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
     N = orders.shape[0]
     i0 = ordmod.order_index(orders, 0, 0)
-    dtype = {"complex64": jnp.complex64, "complex128": jnp.complex128}[dtype_name]
     T = len(target_idx)
 
     def run(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, ng_now, cos_theta,
@@ -80,14 +84,13 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int, dtype_name: str,
         for t in range(T):
             S, Kx, Ky = rcwa.cell_smatrix(
                 orders, xyrra, Lx, Ly, h, eps_p[t], eps_g[t], lam[t],
-                ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms,
-                dtype=dtype)
+                ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms)
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
-            c = jnp.zeros((2 * N, 2), dtype=dtype)
-            c = c.at[i0, 0].set(cy_s.astype(dtype)).at[i0 + N, 0].set(cx_s.astype(dtype))
-            c = c.at[i0, 1].set(cy_p.astype(dtype)).at[i0 + N, 1].set(cx_p.astype(dtype))
-            ampf = S.s11 @ c                       # (2N, 2)
+            c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
+            c = c.at[i0, 0].set(cy_s).at[i0 + N, 0].set(cx_s)
+            c = c.at[i0, 1].set(cy_p).at[i0 + N, 1].set(cx_p)
+            ampf = S.s11 @ c                       # C of shape (2N, 2)
             idx = target_idx[t]
             score = term_score(ampf[idx, 0], ampf[idx + N, 1], ng_now[t],
                                cos_theta[t], inphase[t])
@@ -100,13 +103,13 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int, dtype_name: str,
     return jax.jit(run)
 
 
-def _fom_inputs(g, target_wavelength, numG, terms, dtype):
+def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
     terms = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
     orders, n_slabs = static_solve_config(g, [t.wavelength for t in terms],
                                           numG)
     angle_in_air = (g.get_angle_in_air(target_wavelength)
                     if target_wavelength is not None else None)
-    tgt_idx, inph, eps_p, eps_g, lam, ux, ngs, cth, w = [], [], [], [], [], [], [], [], []
+    tgt_idx, inph, eps_p, eps_g, lam, ux, ngs, cth, w = ([] for _ in range(9))
     for t in terms:
         ng, nt = resolve_indices(g.n_glass, g.n_tio2, t.wavelength)
         if t.target_order != 0:
@@ -130,42 +133,43 @@ def _fom_inputs(g, target_wavelength, numG, terms, dtype):
         ngs.append(float(np.real(ng)))
         cth.append(math.cos(theta))
         w.append(t.weight)
-    rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
-    arrays = (jnp.asarray(eps_p, dtype), jnp.asarray(eps_g, dtype),
-              jnp.asarray(lam, rdt), jnp.asarray(ux, rdt),
-              jnp.asarray(ngs, rdt), jnp.asarray(cth, rdt),
-              jnp.asarray(w, rdt))
+    arrays = (cpx.from_np(np.asarray(eps_p)).astype(rdtype),
+              cpx.from_np(np.asarray(eps_g)).astype(rdtype),
+              jnp.asarray(lam, rdtype), jnp.asarray(ux, rdtype),
+              jnp.asarray(ngs, rdtype), jnp.asarray(cth, rdtype),
+              jnp.asarray(w, rdtype))
     return orders, n_slabs, tuple(tgt_idx), tuple(inph), arrays
 
 
 def fom_of_grating(g, target_wavelength=None, numG: int = 50,
                    terms: Sequence[FomTerm] | None = None,
-                   taylor_terms: int = 10, dtype=None, xyrra=None) -> float:
+                   taylor_terms: int = 10, rdtype=None, xyrra=None) -> float:
     """Figure of merit of one Grating (the ``run_lua`` replacement,
     reference stack ``grating.py:283-317`` + ``grating.lua:290-332``)."""
-    dtype = dtype or _default_dtype()
+    rdtype = rdtype or _default_rdtype()
     orders, n_slabs, tgt, inph, arrays = _fom_inputs(
-        g, target_wavelength, numG, terms, dtype)
-    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms,
-                      np.dtype(dtype).name, tgt, inph, False)
-    xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list)
+        g, target_wavelength, numG, terms, rdtype)
+    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
+                      False)
+    xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list,
+                     dtype=rdtype)
     val = fn(xy, g.grating_period, g.lateral_period, g.cyl_height, *arrays)
-    return float(np.real(val))
+    return float(val)
 
 
 def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
-                       terms=None, taylor_terms: int = 10, dtype=None):
+                       terms=None, taylor_terms: int = 10, rdtype=None):
     """Return a function xyrra -> (fom, d fom / d xyrra), jitted & cached.
     Exact shape derivatives through the whole solve."""
-    dtype = dtype or _default_dtype()
+    rdtype = rdtype or _default_rdtype()
     orders, n_slabs, tgt, inph, arrays = _fom_inputs(
-        g, target_wavelength, numG, terms, dtype)
-    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms,
-                      np.dtype(dtype).name, tgt, inph, True)
+        g, target_wavelength, numG, terms, rdtype)
+    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
+                      True)
 
     def vg(xyrra):
-        return fn(xyrra, g.grating_period, g.lateral_period, g.cyl_height,
-                  *arrays)
+        return fn(jnp.asarray(xyrra, dtype=rdtype), g.grating_period,
+                  g.lateral_period, g.cyl_height, *arrays)
     return vg
 
 
@@ -183,24 +187,21 @@ def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
-                          dtype_name: str):
+def _characterize_program(orders_key, n_slabs: int, taylor_terms: int):
     """Jitted sweep kernel, vmapped over the incidence batch:
-    (xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux[B], uy[B])
-    -> (ampf[B,2,2N], ampr[B,2,2N]); pol axis 0='y', 1='x' incidence."""
+    (xyrra, Lx, Ly, h, eps_p (C), eps_g (C), lam, ux[B], uy[B])
+    -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis 0='y', 1='x' incidence."""
     orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
     N = orders.shape[0]
     i0 = ordmod.order_index(orders, 0, 0)
-    dtype = {"complex64": jnp.complex64, "complex128": jnp.complex128}[dtype_name]
 
     def run_one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
-            n_slabs=n_slabs, taylor_terms=taylor_terms, dtype=dtype)
-        c_y = jnp.zeros((2 * N,), dtype=dtype).at[i0].set(1.0)
-        c_x = jnp.zeros((2 * N,), dtype=dtype).at[i0 + N].set(1.0)
-        c = jnp.stack([c_y, c_x], axis=1)           # (2N, 2)
-        ampf = (S.s11 @ c).T                        # (2, 2N)
+            n_slabs=n_slabs, taylor_terms=taylor_terms)
+        c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
+        c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
+        ampf = (S.s11 @ c).T                        # C (2, 2N)
         ampr = (S.s21 @ c).T
         return ampf, ampr
 
@@ -212,7 +213,7 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
 def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
                          wavelength, numG: int, just_normal: bool = False,
                          convert_to_xy: bool = True, include_tir: bool = False,
-                         taylor_terms: int = 10, dtype=None,
+                         taylor_terms: int = 10, rdtype=None,
                          max_scan_order: int = 5):
     """Amplitude database sweep for one grating: returns the reference's
     list-of-dicts schema (``grating.py:408-478``), computed as one batched
@@ -227,10 +228,9 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     (``grating.lua:406-423``).
     """
     assert convert_to_xy, "raw s/p output retired; x/y is the native basis"
-    dtype = dtype or _default_dtype()
+    rdtype = rdtype or _default_rdtype()
     orders, n_slabs = static_solve_config(g, [wavelength], numG)
-    fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms,
-                               np.dtype(dtype).name)
+    fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms)
     N = orders.shape[0]
 
     if u_steps == 1:
@@ -245,12 +245,15 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     ux_flat, uy_flat = ux_flat[inside], uy_flat[inside]
 
     ng, nt = resolve_indices(g.n_glass, g.n_tio2, wavelength)
-    ampf, ampr = fn(jnp.asarray(g.xyrra_list), g.grating_period,
-                    g.lateral_period, g.cyl_height, complex(nt) ** 2,
-                    complex(ng) ** 2, wavelength,
-                    jnp.asarray(ux_flat), jnp.asarray(uy_flat))
-    ampf = np.asarray(ampf)   # (B, 2, 2N)
-    ampr = np.asarray(ampr)
+    ampf_c, ampr_c = fn(jnp.asarray(g.xyrra_list, rdtype), g.grating_period,
+                        g.lateral_period, g.cyl_height,
+                        cpx.from_np(np.asarray(complex(nt) ** 2)).astype(rdtype),
+                        cpx.from_np(np.asarray(complex(ng) ** 2)).astype(rdtype),
+                        wavelength,
+                        jnp.asarray(ux_flat, rdtype),
+                        jnp.asarray(uy_flat, rdtype))
+    ampf = cpx.to_np(ampf_c)   # (B, 2, 2N) host complex
+    ampr = cpx.to_np(ampr_c)
 
     lam = wavelength
     wavelength_in_nm = round(lam / nm)

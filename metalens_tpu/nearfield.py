@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from . import units as nu
 from .geometry import good_fft_number
 from .materials import n_glass as n_glass_table
+from .solver import cpx
+from .solver.cpx import C
 from .units import nm, pi, inf
 
 
@@ -93,8 +95,8 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     ``nearfield.py:66-83``).
 
     Returns (Ex, Ey, Hx, Hy, x_pts, y_pts, power_passing_through_lens,
-    n_glass); fields are jnp complex arrays of shape (len(x_pts),
-    len(y_pts)).  ``lens_periphery_summary`` may be None for a center-only
+    n_glass); fields are cpx.C real-pair arrays of shape (len(x_pts),
+    len(y_pts)) -- convert with cpx.to_np for host numpy complex.  ``lens_periphery_summary`` may be None for a center-only
     lens.
     """
     assert source_z < 0
@@ -215,11 +217,10 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     H_xp_weight = dipole_field_Hyp
     H_yp_weight = dipole_field_Hxp
 
-    cdtype = jnp.complex128 if X.dtype == jnp.float64 else jnp.complex64
-    Exp = jnp.zeros(X.shape, dtype=cdtype)
-    Eyp = jnp.zeros(X.shape, dtype=cdtype)
-    Hxp = jnp.zeros(X.shape, dtype=cdtype)
-    Hyp = jnp.zeros(X.shape, dtype=cdtype)
+    Exp = cpx.zeros(X.shape, X.dtype)
+    Eyp = cpx.zeros(X.shape, X.dtype)
+    Hxp = cpx.zeros(X.shape, X.dtype)
+    Hyp = cpx.zeros(X.shape, X.dtype)
 
     # ---- periphery accumulation: dense masked per-(gc, order) ----
     for gc_index, gc in enumerate(gratingcollection_list):
@@ -257,14 +258,14 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
                       f"applies at {n_pts} points", flush=True)
             kzp = jnp.sqrt(jnp.maximum(k_glass ** 2 - kxp ** 2 - kyp ** 2,
                                        1e-12 * kvac ** 2))
-            phase = jnp.exp(1j * (kxp * xp + kyp * yp)) * mask
+            phase = cpx.expi(kxp * xp + kyp * yp) * mask
             for x_or_y in ("x", "y"):
                 H_w = H_xp_weight if x_or_y == "x" else H_yp_weight
                 E_w = H_w * nu.Z0
                 for which_amp in ("ampfy", "ampfx"):
                     f = gc.interpolators[(wavelength_in_nm, (ox, oy),
                                           x_or_y, which_amp)]
-                    amps = f(pts).reshape(X.shape)
+                    amps = f.pair(pts).reshape(X.shape)
                     contrib = amps * phase
                     if which_amp == "ampfy":
                         Exp = Exp + E_w * contrib * kxp * kyp / (k_glass * kzp) / n_glass
@@ -281,7 +282,7 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
         air_dist = jnp.sqrt((gratingcenter_x - source_x) ** 2
                             + (gratingcenter_y - source_y) ** 2
                             + source_z ** 2)
-        eikr = jnp.exp(1j * kvac * air_dist)
+        eikr = cpx.expi(kvac * air_dist)
         Exp, Eyp, Hxp, Hyp = Exp * eikr, Eyp * eikr, Hxp * eikr, Hyp * eikr
 
     Ex = Exp * cosr - Eyp * sinr
@@ -326,10 +327,10 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
                                               else jnp.float32).ravel()],
                         axis=1)
 
-        Exc = jnp.zeros(X.shape, dtype=cdtype)
-        Eyc = jnp.zeros(X.shape, dtype=cdtype)
-        Hxc = jnp.zeros(X.shape, dtype=cdtype)
-        Hyc = jnp.zeros(X.shape, dtype=cdtype)
+        Exc = cpx.zeros(X.shape, X.dtype)
+        Eyc = cpx.zeros(X.shape, X.dtype)
+        Hxc = cpx.zeros(X.shape, X.dtype)
+        Hyc = cpx.zeros(X.shape, X.dtype)
         for (ox, oy) in sorted(all_orders):
             kx = kvac * ux + ox * 2 * pi / x_period
             ky = kvac * uy + oy * 2 * pi / y_period
@@ -342,15 +343,15 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
                       f"{n_pts} points", flush=True)
             kz = jnp.sqrt(jnp.maximum(k_glass ** 2 - kx ** 2 - ky ** 2,
                                       1e-12 * kvac ** 2))
-            phase = jnp.exp(1j * (kx * (X - cell_center_x)
-                                  + ky * (Y - cell_center_y))) * mask
+            phase = cpx.expi(kx * (X - cell_center_x)
+                             + ky * (Y - cell_center_y)) * mask
             for x_or_y in ("x", "y"):
                 H_w = H_x_weight if x_or_y == "x" else H_y_weight
                 E_w = H_w * nu.Z0
                 for which_amp in ("ampfy", "ampfx"):
                     f = hexgridset.interpolators[(wavelength_in_nm, (ox, oy),
                                                   x_or_y, which_amp)]
-                    amps = f(pts).reshape(X.shape)
+                    amps = f.pair(pts).reshape(X.shape)
                     contrib = amps * phase
                     if which_amp == "ampfy":
                         Exc = Exc + E_w * contrib * kx * ky / (k_glass * kz) / n_glass
@@ -364,7 +365,7 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
             air_dist = jnp.sqrt((cell_center_x - source_x) ** 2
                                 + (cell_center_y - source_y) ** 2
                                 + source_z ** 2)
-            eikr = jnp.exp(1j * kvac * air_dist)
+            eikr = cpx.expi(kvac * air_dist)
             Exc, Eyc, Hxc, Hyc = (Exc * eikr, Eyc * eikr, Hxc * eikr,
                                   Hyc * eikr)
         Ex = Ex + Exc
@@ -414,10 +415,10 @@ def build_nearfield_big(source_x, source_y, source_z, source_pol, wavelength,
                               hexgridset=hexgridset, x_pts=x_pts,
                               y_pts=y_pts[start:end],
                               dipole_moment=dipole_moment)
-        Ex[:, start:end] = np.asarray(out[0])
-        Ey[:, start:end] = np.asarray(out[1])
-        Hx[:, start:end] = np.asarray(out[2])
-        Hy[:, start:end] = np.asarray(out[3])
+        Ex[:, start:end] = cpx.to_np(out[0])
+        Ey[:, start:end] = cpx.to_np(out[1])
+        Hx[:, start:end] = cpx.to_np(out[2])
+        Hy[:, start:end] = cpx.to_np(out[3])
         power_passing_through_lens += out[6]
         n_glass = out[7]
         start = end

@@ -15,68 +15,72 @@ offline check.  The framework's native amplitude basis is exactly S4's
 * transverse E (kz, K's normalized by k0, medium index n):
     E_xpol = [ (Ky^2+Kz^2)/(n^2 Kz),  -Kx*Ky/(n^2 Kz) ]
     E_ypol = [  Kx*Ky/(n^2 Kz),     -(Kx^2+Kz^2)/(n^2 Kz) ]
-  (reference ``S4conventions.py:95-97`` divided through by k0^2; the n>0
+  (reference ``S4conventions.py:95-97`` divided through by k0^2; the
   normal-incidence special case [sign(kz)/n, 0] is the Kz = +-n limit).
 
-Everything below is dimensionless: K = k/k0.  Time convention e^{-i w t};
-forward propagation is e^{+i k z} (reference ``nearfield.py:335``).
+Complex quantities are :class:`metalens_tpu.solver.cpx.C` real pairs.
+Time convention e^{-i w t}; forward propagation e^{+i k z} (reference
+``nearfield.py:335``).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-
-def kz_norm(Kx, Ky, eps, branch_eps: float = 1e-12):
-    """Normalized kz = sqrt(eps - Kx^2 - Ky^2), branch Im >= 0 (evanescent
-    waves decay along +z).  ``branch_eps`` nudges the branch cut so lossless
-    evanescent orders land on +i sqrt|.| exactly."""
-    arg = eps - Kx * Kx - Ky * Ky
-    arg = jnp.asarray(arg, dtype=jnp.result_type(arg, 1j))
-    return jnp.sqrt(arg + 1j * branch_eps)
+from . import cpx
+from .cpx import C
 
 
-def we_blocks(Kx, Ky, Kz, n):
-    """Diagonal blocks (A, B, C, D) of the E-from-amplitude map for a uniform
-    medium of index n:  with c = (c_y, c_x),
+def kz_norm(Kx, Ky, eps, branch_eps: float = 1e-9) -> C:
+    """Normalized kz = sqrt(eps - Kx^2 - Ky^2) with the Im >= 0 branch
+    (evanescent waves decay along +z).  ``eps`` may be real, python complex,
+    or a C scalar; ``branch_eps`` nudges the cut so lossless evanescent
+    orders land exactly on +i sqrt|.|."""
+    e = cpx.promote(eps)
+    arg = C(e.re - Kx * Kx - Ky * Ky,
+            e.im + jnp.zeros_like(Kx) + branch_eps)
+    return cpx.csqrt_posim(arg)
+
+
+def we_blocks(Kx, Ky, Kz: C, n):
+    """Diagonal blocks (A, B, C, D) of the E-from-amplitude map for a
+    uniform medium of index n (real, python complex, or C scalar): with
+    c = (c_y, c_x),
 
         ex = A c_y + B c_x,   ey = C c_y + D c_x
 
     (forward modes; backward modes have kz -> -kz, i.e. E_trans -> -E_trans).
-    Each of A..D is a length-N complex vector (a diagonal)."""
-    n2Kz = (n * n) * Kz
-    A = Kx * Ky / n2Kz
-    B = (Ky * Ky + Kz * Kz) / n2Kz
-    C = -(Kx * Kx + Kz * Kz) / n2Kz
-    D = -Kx * Ky / n2Kz
-    return A, B, C, D
+    Each block is a length-N C vector."""
+    n_ = cpx.promote(n)
+    n2Kz = n_ * n_ * Kz
+    Kz2 = Kz * Kz
+    A = C(Kx * Ky, jnp.zeros_like(Kx)) / n2Kz
+    B = (Kz2 + Ky * Ky) / n2Kz
+    D = -A
+    Cb = -(Kz2 + Kx * Kx) / n2Kz
+    return A, B, Cb, D
 
 
-def we_inv_blocks(Kx, Ky, Kz, n):
+def we_inv_blocks(Kx, Ky, Kz: C, n):
     """Blocks of the inverse map (amplitudes from transverse E).  The
     per-order 2x2 determinant is exactly 1/n^2 (since Kx^2+Ky^2+Kz^2 = n^2),
     so the inverse is analytic."""
-    A, B, C, D = we_blocks(Kx, Ky, Kz, n)
-    det = A * D - B * C   # == 1/n^2 identically; keep the algebraic form
-    return D / det, -B / det, -C / det, A / det
+    A, B, Cb, D = we_blocks(Kx, Ky, Kz, n)
+    det = A * D - B * Cb
+    return D / det, -B / det, -Cb / det, A / det
 
 
-def block_mul_vec(blocks, v):
+def block_mul_vec(blocks, v: C) -> C:
     """Apply a diag-block 2x2 operator (A,B,C,D) to a 2N amplitude-layout
-    vector or to the rows of a (2N, M) matrix."""
-    A, B, C, D = blocks
+    vector."""
+    A, B, Cb, D = blocks
     N = A.shape[0]
-    if v.ndim == 1:
-        top = A * v[:N] + B * v[N:]
-        bot = C * v[:N] + D * v[N:]
-    else:
-        top = A[:, None] * v[:N] + B[:, None] * v[N:]
-        bot = C[:, None] * v[:N] + D[:, None] * v[N:]
-    return jnp.concatenate([top, bot], axis=0)
+    top = A * v[:N] + B * v[N:]
+    bot = Cb * v[:N] + D * v[N:]
+    return cpx.concatenate([top, bot], axis=0)
 
 
 def block_compose(b1, b2):
-    """Compose two diag-block operators: b1 @ b2."""
     A1, B1, C1, D1 = b1
     A2, B2, C2, D2 = b2
     return (A1 * A2 + B1 * C2, A1 * B2 + B1 * D2,
@@ -84,21 +88,24 @@ def block_compose(b1, b2):
 
 
 def block_inv(b):
-    A, B, C, D = b
-    det = A * D - B * C
-    return D / det, -B / det, -C / det, A / det
+    A, B, Cb, D = b
+    det = A * D - B * Cb
+    return D / det, -B / det, -Cb / det, A / det
 
 
-def block_to_dense(b):
-    A, B, C, D = b
-    return jnp.block([[jnp.diag(A), jnp.diag(B)], [jnp.diag(C), jnp.diag(D)]])
+def block_to_dense(b) -> C:
+    A, B, Cb, D = b
+    return C(jnp.block([[jnp.diag(A.re), jnp.diag(B.re)],
+                        [jnp.diag(Cb.re), jnp.diag(D.re)]]),
+             jnp.block([[jnp.diag(A.im), jnp.diag(B.im)],
+                        [jnp.diag(Cb.im), jnp.diag(D.im)]]))
 
 
 # ----- incident amplitude vectors -----
 
 def incident_sp_amplitudes(ux, uy, pol):
-    """Amplitude (c_y, c_x) pair of a unit-E s- or p-polarized incident plane
-    wave in air traveling (ux, uy, +uz).
+    """Amplitude (c_y, c_x) pair (real values) of a unit-E s- or p-polarized
+    incident plane wave in air traveling (ux, uy, +uz).
 
     c = transverse H of the wave: Hs = -Ep, Hp = Es (reference
     ``S4conventions.py:66-67``), with the exact-normal special case
@@ -111,16 +118,14 @@ def incident_sp_amplitudes(ux, uy, pol):
     uz = jnp.sqrt(jnp.maximum(1.0 - kap2, 0.0))
     normal = kap2 < 1e-18
     if pol == "s":
-        # Hs = -Ep = (-Kx Kz / kap, -Ky Kz / kap)
         hx = jnp.where(normal, -1.0, -ux * uz / kap)
         hy = jnp.where(normal, 0.0, -uy * uz / kap)
     elif pol == "p":
-        # Hp = Es = (-Ky / kap, Kx / kap)
         hx = jnp.where(normal, 0.0, -uy / kap)
         hy = jnp.where(normal, 1.0, ux / kap)
     else:
         raise ValueError(pol)
-    return hx, hy   # = (c_y, c_x)
+    return hx, hy   # = (c_y, c_x), real for propagating incidence
 
 
 def sp_to_xy_coefficients(ux, uy):
@@ -138,19 +143,21 @@ def sp_to_xy_coefficients(ux, uy):
 
 # ----- power -----
 
-def order_powers(c, Kx, Ky, Kz, n):
+def order_powers(c: C, Kx, Ky, Kz: C, n):
     """z-directed power flux per order carried by amplitude vector c (layout
     [c_y; c_x]) of forward modes in a uniform medium of index n, in the same
     (unit-impedance) units S4 uses: Sz_i = Re(ex hy* - ey hx*)."""
+    c = cpx.promote(c)
     N = Kx.shape[0]
     cy, cx = c[:N], c[N:]
-    A, B, C, D = we_blocks(Kx, Ky, Kz, n)
+    A, B, Cb, D = we_blocks(Kx, Ky, Kz, n)
     ex = A * cy + B * cx
-    ey = C * cy + D * cx
+    ey = Cb * cy + D * cx
     hx, hy = cy, cx
-    return jnp.real(ex * jnp.conj(hy) - ey * jnp.conj(hx))
+    sz = ex * hy.conj() - ey * hx.conj()
+    return sz.re
 
 
-def backward_order_powers(c, Kx, Ky, Kz, n):
+def backward_order_powers(c: C, Kx, Ky, Kz: C, n):
     """Power (positive = flowing toward -z) of backward modes."""
-    return order_powers(c, Kx, Ky, -Kz, n) * (-1.0)
+    return -order_powers(c, Kx, Ky, -Kz, n)

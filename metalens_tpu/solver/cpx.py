@@ -1,0 +1,243 @@
+"""Complex arithmetic as real pairs -- the TPU numeric substrate.
+
+The TPU backend exposes no complex dtypes at all (every op touching
+complex64 fails at runtime), so the entire compute path represents a complex
+array as a pair of real arrays.  This is not merely a workaround: the
+explicit representation maps complex matmuls onto exactly three real MXU
+matmuls (Karatsuba), and linear solves onto the real 2n-embedding handled by
+the TPU's QR/Cholesky, with none of XLA's complex-decomposition overhead.
+
+`C(re, im)` is a registered pytree with operator overloading, so solver code
+reads like complex math:
+
+    Y = (F @ G) * (t * t)
+    T12 = (S @ F) * 1j * t
+    Einv = cho_solve_hermitian(E, eye_like(E))
+
+Conventions: `C * z` accepts real scalars/arrays and python complex
+scalars.  `abs2` is |.|^2.  `csqrt_posim` is the sqrt branch with Im >= 0
+(the physical evanescent-decay branch used for kz).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class C(NamedTuple):
+    re: jnp.ndarray
+    im: jnp.ndarray
+
+    # ----- shape/indexing -----
+    @property
+    def shape(self):
+        return jnp.shape(self.re)
+
+    @property
+    def ndim(self):
+        return jnp.ndim(self.re)
+
+    @property
+    def T(self):
+        return C(self.re.T, self.im.T)
+
+    def __getitem__(self, idx):
+        return C(self.re[idx], self.im[idx])
+
+    def reshape(self, *shape):
+        return C(self.re.reshape(*shape), self.im.reshape(*shape))
+
+    def astype(self, rdtype):
+        return C(self.re.astype(rdtype), self.im.astype(rdtype))
+
+    def conj(self):
+        return C(self.re, -self.im)
+
+    def sum(self, axis=None, **kw):
+        return C(self.re.sum(axis=axis, **kw), self.im.sum(axis=axis, **kw))
+
+    # ----- arithmetic -----
+    def __neg__(self):
+        return C(-self.re, -self.im)
+
+    def __add__(self, other):
+        o = promote(other)
+        return C(self.re + o.re, self.im + o.im)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        o = promote(other)
+        return C(self.re - o.re, self.im - o.im)
+
+    def __rsub__(self, other):
+        return promote(other) - self
+
+    def __mul__(self, other):
+        if isinstance(other, C):
+            return C(self.re * other.re - self.im * other.im,
+                     self.re * other.im + self.im * other.re)
+        if isinstance(other, complex):
+            return C(self.re * other.real - self.im * other.imag,
+                     self.re * other.imag + self.im * other.real)
+        assert not np.iscomplexobj(other), \
+            "wrap complex arrays with cpx.promote/from_np first"
+        return C(self.re * other, self.im * other)   # real scalar/array
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        if isinstance(other, C):
+            d = other.re * other.re + other.im * other.im
+            return C((self.re * other.re + self.im * other.im) / d,
+                     (self.im * other.re - self.re * other.im) / d)
+        if isinstance(other, complex):
+            return self * (1.0 / other)
+        return C(self.re / other, self.im / other)
+
+    def __rtruediv__(self, other):
+        return promote(other) / self
+
+    def __matmul__(self, other):
+        return matmul(self, promote(other))
+
+    def __rmatmul__(self, other):
+        return matmul(promote(other), self)
+
+
+def promote(x) -> C:
+    """Lift real arrays / python scalars / complex arrays to C.  (Complex
+    *device* arrays only exist on backends that support them, i.e. CPU; on
+    TPU complex data enters via :func:`from_np` or stays in C form.)"""
+    if isinstance(x, C):
+        return x
+    if isinstance(x, complex):
+        return C(jnp.asarray(x.real), jnp.asarray(x.imag))
+    if isinstance(x, jnp.ndarray):
+        if jnp.iscomplexobj(x):
+            return C(jnp.real(x), jnp.imag(x))
+        return C(x, jnp.zeros_like(x))
+    x_np = np.asarray(x)
+    if np.iscomplexobj(x_np):
+        return from_np(x_np)
+    arr = jnp.asarray(x_np)
+    return C(arr, jnp.zeros_like(arr))
+
+
+def from_np(x) -> C:
+    x = np.asarray(x)
+    return C(jnp.asarray(np.ascontiguousarray(x.real)),
+             jnp.asarray(np.ascontiguousarray(x.imag)))
+
+
+def to_np(c: C) -> np.ndarray:
+    """Materialize to a host numpy complex array."""
+    return np.asarray(c.re) + 1j * np.asarray(c.im)
+
+
+def zeros(shape, rdtype=None) -> C:
+    rdtype = rdtype or jnp.zeros(0).dtype
+    return C(jnp.zeros(shape, rdtype), jnp.zeros(shape, rdtype))
+
+
+def eye(n, rdtype=None) -> C:
+    rdtype = rdtype or jnp.zeros(0).dtype
+    return C(jnp.eye(n, dtype=rdtype), jnp.zeros((n, n), rdtype))
+
+
+def matmul(a: C, b: C) -> C:
+    """Karatsuba complex matmul: 3 real matmuls instead of 4."""
+    t1 = a.re @ b.re
+    t2 = a.im @ b.im
+    t3 = (a.re + a.im) @ (b.re + b.im)
+    return C(t1 - t2, t3 - t1 - t2)
+
+
+def abs2(c: C):
+    return c.re * c.re + c.im * c.im
+
+def cabs(c: C):
+    return jnp.sqrt(abs2(c))
+
+
+def exp(c: C) -> C:
+    m = jnp.exp(c.re)
+    return C(m * jnp.cos(c.im), m * jnp.sin(c.im))
+
+
+def expi(theta) -> C:
+    """e^{i theta} for real theta."""
+    return C(jnp.cos(theta), jnp.sin(theta))
+
+
+def csqrt_posim(c: C) -> C:
+    """Principal-physical sqrt with Im >= 0: for real positive input gives
+    +sqrt, for real negative gives +i sqrt|.| (evanescent decay along +z)."""
+    r = cabs(c)
+    re = jnp.sqrt(jnp.maximum((r + c.re) / 2, 0.0))
+    im = jnp.sqrt(jnp.maximum((r - c.re) / 2, 0.0))
+    # sign of Im: principal sqrt has sign(im_out) = sign(im_in); flip the
+    # whole result when that lands in the lower half plane
+    flip = c.im < 0
+    re = jnp.where(flip, -re, re)
+    return C(re, im)
+
+
+def diag(v: C) -> C:
+    return C(jnp.diag(v.re), jnp.diag(v.im))
+
+
+def stack(cs, axis=0) -> C:
+    return C(jnp.stack([c.re for c in cs], axis),
+             jnp.stack([c.im for c in cs], axis))
+
+
+def concatenate(cs, axis=0) -> C:
+    return C(jnp.concatenate([c.re for c in cs], axis),
+             jnp.concatenate([c.im for c in cs], axis))
+
+
+def where(mask, a: C, b: C) -> C:
+    return C(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+
+
+def set_at(c: C, idx, value) -> C:
+    v = promote(value)
+    return C(c.re.at[idx].set(v.re), c.im.at[idx].set(v.im))
+
+
+# ----- linear solves via the real 2n-embedding -----
+
+def _embed(A: C):
+    return jnp.block([[A.re, -A.im], [A.im, A.re]])
+
+
+def qr_solve(A: C, B: C) -> C:
+    """Solve A X = B for general complex A.  The TPU backend has QR (and
+    LU); QR is used for its unconditional backward stability on the star
+    products."""
+    n = A.re.shape[0]
+    M = _embed(A)
+    rhs = jnp.concatenate([B.re, B.im], axis=0)
+    Q, R = jnp.linalg.qr(M)
+    sol = jax.lax.linalg.triangular_solve(R, Q.T @ rhs, left_side=True,
+                                          lower=False)
+    return C(sol[:n], sol[n:])
+
+
+def cho_solve_hermitian(A: C, B: C) -> C:
+    """Solve A X = B for Hermitian positive-definite A (e.g. the Laurent
+    Toeplitz eps matrix): the real embedding of an HPD matrix is symmetric
+    positive definite, so the TPU's Cholesky applies."""
+    n = A.re.shape[0]
+    M = _embed(A)
+    rhs = jnp.concatenate([B.re, B.im], axis=0)
+    L = jnp.linalg.cholesky(M)
+    y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+    sol = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
+                                          transpose_a=True)
+    return C(sol[:n], sol[n:])

@@ -57,15 +57,17 @@ DEFAULT_FOM_TERMS = (
 
 def term_score(amp_s_y, amp_p_x, n_glass_now, cos_theta, inphase: bool):
     """Score one term from the target-order transmitted amplitudes of the s
-    and p runs (y-block and x-block amplitudes respectively)."""
-    amp_s = -amp_s_y          # s sign flip, grating.lua:208-211
-    amp_p = amp_p_x
+    and p runs (y-block and x-block amplitudes respectively).  Amplitudes
+    are :class:`metalens_tpu.solver.cpx.C` scalars."""
+    from . import cpx
+    amp_s = -cpx.promote(amp_s_y)    # s sign flip, grating.lua:208-211
+    amp_p = cpx.promote(amp_p_x)
     if inphase:
-        score_s = jnp.abs(jnp.imag(amp_s)) * jnp.imag(amp_s)
-        score_p = jnp.abs(jnp.imag(amp_p)) * jnp.imag(amp_p)
+        score_s = jnp.abs(amp_s.im) * amp_s.im
+        score_p = jnp.abs(amp_p.im) * amp_p.im
     else:
-        score_s = jnp.abs(amp_s) ** 2
-        score_p = jnp.abs(amp_p) ** 2
+        score_s = cpx.abs2(amp_s)
+        score_p = cpx.abs2(amp_p)
     denom = n_glass_now * cos_theta
     return (score_s / denom + score_p / denom) / 2.0
 

@@ -5,7 +5,7 @@ of the reference's S4conventions.py inline asserts
 import numpy as np
 import jax.numpy as jnp
 
-from metalens_tpu.solver import basis
+from metalens_tpu.solver import basis, cpx
 
 rng = np.random.default_rng(0)
 
@@ -52,8 +52,9 @@ def test_we_blocks_match_xy_vectors():
         Kx, Ky = rng.uniform(0.05, 0.7, size=2)
         n = rng.uniform(1.0, 2.5)
         Kz = np.sqrt(n ** 2 - Kx ** 2 - Ky ** 2)
-        A, B, C, D = [np.asarray(v) for v in basis.we_blocks(
-            jnp.array([Kx]), jnp.array([Ky]), jnp.array([Kz + 0j]), n)]
+        A, B, C, D = [cpx.to_np(v) for v in basis.we_blocks(
+            jnp.array([Kx]), jnp.array([Ky]),
+            cpx.C(jnp.array([Kz]), jnp.array([0.0])), n)]
         E_x, E_y, H_x, H_y = xy_vectors(Kx, Ky, Kz, n)
         # c = (c_y, c_x) = (1, 0): field E = E_ypol
         np.testing.assert_allclose([A[0].real, C[0].real], E_y[:2], atol=1e-12)
@@ -69,10 +70,10 @@ def test_we_inverse():
     w = basis.we_blocks(Kx, Ky, Kz, n)
     wi = basis.we_inv_blocks(Kx, Ky, Kz, n)
     prod = basis.block_compose(wi, w)
-    np.testing.assert_allclose(np.asarray(prod[0]), 1.0, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(prod[3]), 1.0, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(prod[1]), 0.0, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(prod[2]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(cpx.to_np(prod[0]), 1.0, atol=1e-12)
+    np.testing.assert_allclose(cpx.to_np(prod[3]), 1.0, atol=1e-12)
+    np.testing.assert_allclose(cpx.to_np(prod[1]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(cpx.to_np(prod[2]), 0.0, atol=1e-12)
 
 
 def test_incident_sp_is_unit_E_with_correct_H():

@@ -5,7 +5,7 @@ and the Toeplitz assembly."""
 import numpy as np
 import jax.numpy as jnp
 
-from metalens_tpu.solver import orders as ordmod
+from metalens_tpu.solver import cpx, orders as ordmod
 from metalens_tpu.solver.epsilon import (ellipse_layer_toeplitz,
                                          rect_layer_toeplitz)
 from metalens_tpu.solver.special import j1 as j1_jax
@@ -51,8 +51,8 @@ def test_ellipse_fourier_vs_fft():
         return eps
 
     orders = ordmod.select_orders(Lx, Ly, 15)
-    E = np.asarray(ellipse_layer_toeplitz(orders, Lx, Ly,
-                                          jnp.asarray(xyrra), eps_p))
+    E = cpx.to_np(ellipse_layer_toeplitz(orders, Lx, Ly,
+                                         jnp.asarray(xyrra), eps_p))
     for i in range(0, 15, 4):
         for j in range(0, 15, 5):
             dm = orders[i] - orders[j]
@@ -72,7 +72,7 @@ def test_rect_fourier_vs_fft():
         return np.where(inx & iny, eps_f, 1.0)
 
     orders = ordmod.select_orders(Lx, Ly, 9)
-    E = np.asarray(rect_layer_toeplitz(orders, Lx, Ly, center, widths, eps_f))
+    E = cpx.to_np(rect_layer_toeplitz(orders, Lx, Ly, center, widths, eps_f))
     for i in range(9):
         dm = orders[i] - orders[0]
         ref = rasterized_eps_hat(Lx, Ly, eps_fn, dm[0], dm[1])
@@ -83,5 +83,5 @@ def test_toeplitz_is_hermitian_for_real_eps():
     Lx, Ly = 1200 * nm, 320 * nm
     xyrra = jnp.asarray(np.array([[10 * nm, 5 * nm, 100 * nm, 80 * nm, 0.3]]))
     orders = ordmod.select_orders(Lx, Ly, 25)
-    E = np.asarray(ellipse_layer_toeplitz(orders, Lx, Ly, xyrra, 5.6))
+    E = cpx.to_np(ellipse_layer_toeplitz(orders, Lx, Ly, xyrra, 5.6))
     np.testing.assert_allclose(E, E.conj().T, atol=1e-12)

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from metalens_tpu import units as nu
+from metalens_tpu.solver import cpx
 from metalens_tpu.hexgrid import HexGridSet
 from metalens_tpu.assembly import make_design, hexagonal_grid, PITCH
 from metalens_tpu.nearfield import build_nearfield, build_nearfield_big
@@ -62,7 +63,7 @@ def test_plane_wave_center_lens_field_and_energy(center_lens):
         wavelength=LAM, lens_periphery_summary=None,
         lens_center_summary=summary, hexgridset=hgs,
         x_pts=x_pts, y_pts=y_pts, dipole_moment=E0)
-    Ex = np.asarray(Ex)
+    Ex = cpx.to_np(Ex)
     X, Y = np.meshgrid(x_pts, y_pts, indexing="ij")
     r_max_sites = np.hypot(summary[:, 0], summary[:, 1]).max()
 
@@ -105,6 +106,6 @@ def test_build_nearfield_big_matches_single_call(center_lens):
               x_pts=x_pts, y_pts=y_pts)
     out1 = build_nearfield(**kw)
     out2 = build_nearfield_big(pts_at_a_time=n_pts * 7, progress=False, **kw)
-    np.testing.assert_allclose(np.asarray(out1[0]), out2[0], atol=1e-12)
-    np.testing.assert_allclose(np.asarray(out1[3]), out2[3], atol=1e-12)
+    np.testing.assert_allclose(cpx.to_np(out1[0]), out2[0], atol=1e-12)
+    np.testing.assert_allclose(cpx.to_np(out1[3]), out2[3], atol=1e-12)
     assert abs(out1[6] - out2[6]) < 1e-9 * max(abs(out1[6]), 1e-300)

@@ -7,7 +7,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from metalens_tpu.solver import orders as ordmod, rcwa, basis
+from metalens_tpu.solver import cpx, orders as ordmod, rcwa, basis
 from metalens_tpu.solver.epsilon import rect_layer_toeplitz
 from metalens_tpu.units import nm
 
@@ -24,16 +24,17 @@ I0 = ordmod.order_index(ORDERS, 0, 0)
 
 def solve_uniform(eps_layer, ux, uy, pol, h=H, eps_glass=NG ** 2):
     """Solve air / uniform-eps layer / glass with the full 2D machinery and
-    return (T, R, ampf, ampr, Kx, Ky)."""
-    E = eps_layer * jnp.eye(NUMG, dtype=jnp.complex128)
+    return (T, R, ampf, ampr, Kx, Ky); amplitudes as host numpy complex."""
+    E = cpx.from_np(complex(eps_layer) * np.eye(NUMG))
     q2 = rcwa.q2_upper_bound(ORDERS, LX, LY, LAM, abs(eps_layer))
     ns = rcwa.default_n_slabs(2 * np.pi * h / LAM, q2)
     S, Kx, Ky = rcwa.cell_smatrix_with_eps(
         ORDERS, E, LX, LY, h, eps_glass, LAM, ux, uy,
-        n_slabs=ns, taylor_terms=10, dtype=jnp.complex128)
+        n_slabs=ns, taylor_terms=10)
     cy, cx = basis.incident_sp_amplitudes(ux, uy, pol)
-    c_inc = jnp.zeros(2 * NUMG, dtype=jnp.complex128).at[I0].set(cy).at[I0 + NUMG].set(cx)
-    ampf, ampr = rcwa.scatter_amplitudes(S, c_inc)
+    c_inc = jnp.zeros(2 * NUMG).at[I0].set(cy).at[I0 + NUMG].set(cx)
+    ampf_c, ampr_c = rcwa.scatter_amplitudes(S, c_inc)
+    ampf, ampr = cpx.to_np(ampf_c), cpx.to_np(ampr_c)
     n_g = np.sqrt(eps_glass)
     Kz_g = basis.kz_norm(Kx, Ky, eps_glass)
     Kz_a = basis.kz_norm(Kx, Ky, 1.0)
@@ -93,9 +94,9 @@ def test_lamellar_grating_energy_and_zero_contrast():
     ns = rcwa.default_n_slabs(2 * np.pi * H / LAM, q2)
     S, Kx, Ky = rcwa.cell_smatrix_with_eps(
         ORDERS, E_air, LX, LY, H, NG ** 2, LAM, 0.3, 0.1,
-        n_slabs=ns, taylor_terms=10, dtype=jnp.complex128)
+        n_slabs=ns, taylor_terms=10)
     # off-diagonal scattering must vanish for a uniform layer
-    off = np.asarray(S.s11).copy()
+    off = cpx.to_np(S.s11)
     # s11 couples only within the same order for uniform media (2x2 pol blocks)
     for i in range(NUMG):
         off[i, i] = off[i + NUMG, i + NUMG] = 0.0
@@ -108,10 +109,10 @@ def test_lamellar_grating_energy_and_zero_contrast():
     ns = rcwa.default_n_slabs(2 * np.pi * H / LAM, q2)
     S, Kx, Ky = rcwa.cell_smatrix_with_eps(
         ORDERS, E_gr, LX, LY, H, NG ** 2, LAM, 0.3, 0.1,
-        n_slabs=ns, taylor_terms=10, dtype=jnp.complex128)
+        n_slabs=ns, taylor_terms=10)
     for pol in ("s", "p"):
         cy, cx = basis.incident_sp_amplitudes(0.3, 0.1, pol)
-        c = jnp.zeros(2 * NUMG, dtype=jnp.complex128).at[I0].set(cy).at[I0 + NUMG].set(cx)
+        c = jnp.zeros(2 * NUMG).at[I0].set(cy).at[I0 + NUMG].set(cx)
         ampf, ampr = rcwa.scatter_amplitudes(S, c)
         Kz_g = basis.kz_norm(Kx, Ky, NG ** 2)
         Kz_a = basis.kz_norm(Kx, Ky, 1.0)
