@@ -96,9 +96,12 @@ class HexGridSet:
 
         x_amp_list = []
         for g in self.grating_list:
+            # the (0.001, 0.001) near-normal sample (tolerant match: the
+            # u-grid midpoint carries float round-off in the non-normal case)
             a = [e for e in g.data if e["x_or_y"] == "x"
                  and e["ox"] == e["oy"] == 0
-                 and e["ux"] == e["uy"] == 0.001]
+                 and abs(e["ux"] - 0.001) < 1e-9
+                 and abs(e["uy"] - 0.001) < 1e-9]
             assert len(a) == 1
             x_amp_list.append(a[0]["ampfx"])
         self.x_amp_list = np.array(x_amp_list)

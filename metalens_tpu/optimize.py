@@ -265,7 +265,7 @@ def optimize_gradient(mygrating_start, target_wavelength, steps: int = 120,
 def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                target_wavelength=None, start_grating_collection=None,
                subfolder=None, numG=50, terms=None, use_gradient=False,
-               optimize2_attempts=200, verbose=True):
+               optimize2_attempts=200, gradient_steps=120, verbose=True):
     """Geometric continuation building a GratingCollection (reference
     ``grating.py:820-918``): step the period by 1% per iteration, re-seed
     from the previous solution via :func:`resize`, re-optimize under a 3%
@@ -330,7 +330,7 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose)
+                steps=gradient_steps, verbose=verbose)
             grating_new = optimize2(
                 grating_new, attempts=optimize2_attempts,
                 target_wavelength=all_gratings.target_wavelength,
