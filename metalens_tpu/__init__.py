@@ -52,4 +52,7 @@ def __getattr__(name):
         return getattr(mod, name)
     if name == "HexGridSet":
         return importlib.import_module(".hexgrid", __name__).HexGridSet
+    if name in ("save", "load"):
+        return getattr(importlib.import_module(".serialization", __name__),
+                       name)
     raise AttributeError(name)

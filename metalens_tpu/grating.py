@@ -135,6 +135,44 @@ class Grating:
                 + ", data=" + (repr(self.data) if hasattr(self, "data") else "None")
                 + ")")
 
+    def save(self, path):
+        """Binary persistence (see :mod:`metalens_tpu.serialization`)."""
+        from .serialization import save
+        return save(self, path)
+
+    def write(self, directory, angle_in_air=None, index=None,
+              ux_min=None, ux_max=None, uy_min=None, uy_max=None,
+              u_steps=None, wavelength=None, numG=50):
+        """Interop shim: write the reference's two-file job format
+        (``grating_setup.txt`` + ``grating_xyrra_list.txt``, reference
+        ``grating.py:203-261``) into ``directory``.  The solver never reads
+        these -- they exist so artifacts can be compared against a legacy
+        S4 installation, or fed to external tools that consume the format
+        (e.g. the reference's Lumerical harness)."""
+        import os
+        os.makedirs(directory, exist_ok=True)
+        sfx = str(index) if index is not None else ""
+        with open(os.path.join(directory, f"grating_setup{sfx}.txt"),
+                  "w") as f:
+            if angle_in_air is not None:
+                assert all(x is None for x in (ux_min, ux_max, uy_min,
+                                               uy_max, u_steps, wavelength))
+                rows = [1, self.grating_period, self.lateral_period,
+                        angle_in_air, self.n_glass, self.n_tio2,
+                        self.cyl_height, numG]
+            else:
+                assert all(x is not None for x in (ux_min, ux_max, uy_min,
+                                                   uy_max, u_steps,
+                                                   wavelength))
+                rows = [2, self.grating_period, self.lateral_period,
+                        self.n_glass, self.n_tio2, self.cyl_height, numG,
+                        ux_min, ux_max, uy_min, uy_max, u_steps,
+                        round(wavelength / nm) / 1000]
+            for r in rows:
+                print(r, file=f)
+        np.savetxt(os.path.join(directory, f"grating_xyrra_list{sfx}.txt"),
+                   self.xyrra_list_in_um_deg, delimiter=" ")
+
     def copy(self):
         g = Grating(lateral_period=self.lateral_period,
                     grating_period=self.grating_period,
@@ -172,7 +210,7 @@ class Grating:
     def characterize(self, subfolder=None, process=None,
                      ux_min=None, ux_max=None, uy_min=-0.2, uy_max=0.2,
                      u_steps=3, wavelength=580 * nm, numG=100,
-                     convert_to_xy=True, just_normal=False):
+                     convert_to_xy=True, just_normal=False, append=False):
         """Compute the complex diffraction-amplitude database over a grid of
         incoming directions and store it in ``self.data`` (reference
         ``grating.py:364-478``).
@@ -195,10 +233,18 @@ class Grating:
                 target_ux = self.get_angle_in_air(580 * nm)
                 ux_max = min(0.99, target_ux + 0.2)
         assert convert_to_xy or not just_normal
-        self.data = characterize_grating(
+        new_data = characterize_grating(
             self, ux_min=ux_min, ux_max=ux_max, uy_min=uy_min, uy_max=uy_max,
             u_steps=u_steps, wavelength=wavelength, numG=numG,
             just_normal=just_normal, convert_to_xy=convert_to_xy)
+        if append and hasattr(self, "data"):
+            # accumulate across wavelengths (RGB databases); replace any
+            # prior entries at this wavelength
+            wl = round(wavelength / nm)
+            self.data = [e for e in self.data
+                         if round(e["wavelength_in_nm"]) != wl] + new_data
+        else:
+            self.data = new_data
         return self.data
 
     # ----- viz -----
@@ -421,9 +467,12 @@ class GratingCollection:
             plot_angle_efficiencies(out)
         return out
 
-    def characterize(self, wavelength, numG=100, u_steps=5, just_normal=False):
+    def characterize(self, wavelength, numG=100, u_steps=5,
+                     just_normal=False, append=False):
         """Fill every member's amplitude database in one device sweep
-        (reference ``grating.py:1160-1184``)."""
+        (reference ``grating.py:1160-1184``).  Pass ``append=True`` and call
+        once per wavelength to build an RGB (multi-wavelength) database; the
+        interpolators key on wavelength."""
         if just_normal:
             ux_min = ux_max = uy_min = uy_max = 0.001
             u_steps = 1
@@ -437,7 +486,7 @@ class GratingCollection:
             g.characterize(ux_min=ux_min, ux_max=ux_max, uy_min=uy_min,
                            uy_max=uy_max, u_steps=u_steps,
                            wavelength=wavelength, numG=numG,
-                           just_normal=just_normal)
+                           just_normal=just_normal, append=append)
 
     def build_interpolators(self):
         """Create the (ux, uy, grating_period) -> complex-amplitude lookup
@@ -451,6 +500,11 @@ class GratingCollection:
         self.interpolators, self.interpolator_bounds = \
             build_collection_interpolators(self)
         return self.interpolators
+
+    def save(self, path):
+        """Binary persistence (see :mod:`metalens_tpu.serialization`)."""
+        from .serialization import save
+        return save(self, path)
 
     def export_to_lumerical(self, *args, **kwargs):
         raise NotImplementedError(

@@ -137,6 +137,11 @@ class HexGridSet:
         fom_list = (self.x_amp_list * np.exp(-1j * target_phase)).imag
         return int(np.argmax(fom_list))
 
+    def save(self, path):
+        """Binary persistence (see :mod:`metalens_tpu.serialization`)."""
+        from .serialization import save
+        return save(self, path)
+
     def build_interpolators(self):
         """(ux, uy, member-index) -> complex amplitude lookup tables, all
         four amplitude kinds (reference ``lens_center.py:188-226``)."""

@@ -216,10 +216,19 @@ def _embed(A: C):
     return jnp.block([[A.re, -A.im], [A.im, A.re]])
 
 
+def solve(A: C, B: C) -> C:
+    """Solve A X = B for general complex A via partial-pivoted LU on the
+    real embedding (backward stable; ~2x cheaper than QR on the MXU)."""
+    n = A.re.shape[0]
+    M = _embed(A)
+    rhs = jnp.concatenate([B.re, B.im], axis=0)
+    sol = jnp.linalg.solve(M, rhs)
+    return C(sol[:n], sol[n:])
+
+
 def qr_solve(A: C, B: C) -> C:
-    """Solve A X = B for general complex A.  The TPU backend has QR (and
-    LU); QR is used for its unconditional backward stability on the star
-    products."""
+    """Solve A X = B for general complex A via QR on the real embedding
+    (kept as an alternative to :func:`solve` for conditioning studies)."""
     n = A.re.shape[0]
     M = _embed(A)
     rhs = jnp.concatenate([B.re, B.im], axis=0)

@@ -140,7 +140,7 @@ def _transfer_to_smatrix(M11: C, M12: C, M21: C, M22: C) -> SMatrix:
     """Amplitude-space transfer matrix -> scattering matrix."""
     n2 = M11.shape[0]
     I = cpx.eye(n2, M11.re.dtype)
-    M22inv = cpx.qr_solve(M22, I)
+    M22inv = cpx.solve(M22, I)
     s21 = -(M22inv @ M21)
     s11 = M11 + M12 @ s21
     s12 = M12 @ M22inv
@@ -172,7 +172,7 @@ def redheffer_star(A: SMatrix, B: SMatrix) -> SMatrix:
     """Stack S-matrix A (top) on B (bottom): standard star product."""
     n2 = A.s11.shape[0]
     I = cpx.eye(n2, A.s11.re.dtype)
-    X = cpx.qr_solve(I - A.s12 @ B.s21,
+    X = cpx.solve(I - A.s12 @ B.s21,
                      cpx.concatenate([A.s11, A.s12 @ B.s22], axis=1))
     XA11 = X[:, :n2]
     XA12B22 = X[:, n2:]

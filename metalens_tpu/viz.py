@@ -64,6 +64,81 @@ def show_characterization(mygrating, my_order=(0, 0), my_pol="x",
     return fig
 
 
+def correct_imshow_extent(array, min_px_center_x, max_px_center_x,
+                          min_px_center_y, max_px_center_y):
+    """imshow extent giving coordinates at pixel *centers* (reference
+    ``grating.py:652-663``)."""
+    nx = array.shape[1]
+    ny = array.shape[0]
+    px_extent_x = (max_px_center_x - min_px_center_x) / (nx - 1)
+    px_extent_y = (max_px_center_y - min_px_center_y) / (ny - 1)
+    return [min_px_center_x - px_extent_x / 2,
+            max_px_center_x + px_extent_x / 2,
+            min_px_center_y - px_extent_y / 2,
+            max_px_center_y + px_extent_y / 2]
+
+
+def eps_map(grating, wavelength=580e-9, n_points=101):
+    """The permittivity map of the pillar layer, evaluated *analytically*
+    (real-space indicator sum) on a grid -- replaces the reference's
+    plot_eps which parses a temp file written by a commented-out Lua hook
+    (reference ``grating.py:797-812``, ``grating.lua:339-350``).
+    Returns (eps_matrix, xs, ys); plot with :func:`plot_eps`."""
+    from .materials import resolve_indices
+    ng, nt = resolve_indices(grating.n_glass, grating.n_tio2, wavelength)
+    Lx, Ly = grating.grating_period, grating.lateral_period
+    xs = np.linspace(-Lx / 2, Lx / 2, n_points)
+    ys = np.linspace(-Ly / 2, Ly / 2, n_points)
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    eps = np.ones_like(X, dtype=complex)
+    for x0, y0, rx, ry, a in grating.xyrra_list:
+        for sx_ in (-1, 0, 1):
+            for sy_ in (-1, 0, 1):
+                dx, dy = X - x0 + sx_ * Lx, Y - y0 + sy_ * Ly
+                u = (dx * np.cos(a) + dy * np.sin(a)) / rx
+                v = (-dx * np.sin(a) + dy * np.cos(a)) / ry
+                eps = np.where(u ** 2 + v ** 2 <= 1, complex(nt) ** 2, eps)
+    return eps, xs, ys
+
+
+def plot_eps(grating, wavelength=580e-9, n_points=101):
+    """Index-map plot of the unit cell (reference ``grating.py:797-812``)."""
+    plt = _plt()
+    eps, xs, ys = eps_map(grating, wavelength, n_points)
+    fig = plt.figure()
+    plt.imshow(np.sqrt(eps.real).T, origin="lower", aspect="equal",
+               extent=(xs.min() / nm, xs.max() / nm,
+                       ys.min() / nm, ys.max() / nm))
+    plt.title("index")
+    plt.colorbar()
+    return fig
+
+
+def plot_round_lateral_period(f, reps_around_circumference,
+                              target_wavelength=580e-9):
+    """Design study: how lateral_period and grating_period covary across a
+    round lens (reference ``grating.py:1243-1270``)."""
+    plt = _plt()
+    d = np.linspace(100e-9, f * 5, num=1000)
+    angles = np.arctan(d / f)
+    lateral_periods = 2 * np.pi * d / reps_around_circumference
+    grating_periods = target_wavelength / np.sin(angles)
+    figs = []
+    fig = plt.figure()
+    plt.plot(lateral_periods / nm, grating_periods / nm)
+    plt.xlabel("lateral period (nm)")
+    plt.ylabel("grating period (nm)")
+    plt.xlim(0, 800); plt.ylim(0, 2000); plt.grid()
+    figs.append(fig)
+    fig = plt.figure()
+    plt.plot(lateral_periods / nm, angles / degree)
+    plt.xlabel("lateral period (nm)")
+    plt.ylabel("angle (degree)")
+    plt.xlim(0, 800); plt.grid()
+    figs.append(fig)
+    return figs
+
+
 def plot_angle_efficiencies(angles_efficiencies_list):
     plt = _plt()
     fig = plt.figure()
@@ -77,8 +152,9 @@ def plot_angle_efficiencies(angles_efficiencies_list):
 def show_collection_graphs(gc, with_efficiencies=False,
                            anim_filename="grating_collection_anim.gif",
                            numG=100):
-    """Per-member config plots (reference ``grating.py:1095-1135``; the
-    ImageMagick GIF step is dropped -- saves PNGs and returns their names)."""
+    """Per-member config plots (reference ``grating.py:1095-1135``); the
+    animation is assembled with PIL instead of shelling out to ImageMagick.
+    Saves PNG frames (returned) and, if PIL is present, the GIF."""
     plt = _plt()
     max_gp = max(g.grating_period for g in gc.grating_list)
     max_lp = max(g.lateral_period for g in gc.grating_list)
@@ -102,4 +178,12 @@ def show_collection_graphs(gc, with_efficiencies=False,
         plt.savefig(fname)
         plt.close()
         filenames.append(fname)
+    if anim_filename:
+        try:
+            from PIL import Image
+            frames = [Image.open(f) for f in filenames]
+            frames[0].save(anim_filename, save_all=True,
+                           append_images=frames[1:], duration=300, loop=0)
+        except ImportError:
+            pass  # PIL unavailable: keep the PNG frames
     return filenames

@@ -1,0 +1,81 @@
+"""Auxiliary parity pieces: the reference-format job-file shim, analytic
+eps map, viz helpers, RGB multi-wavelength databases."""
+
+import numpy as np
+import pytest
+
+from metalens_tpu import Grating, GratingCollection
+from metalens_tpu.units import nm, degree
+from metalens_tpu.viz import eps_map, correct_imshow_extent
+
+
+def simple_grating():
+    return Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                   grating_period=1200 * nm,
+                   xyrra_list_in_nm_deg=np.array([[0., 0., 120., 90., 0.]]))
+
+
+def test_write_reference_job_format(tmp_path):
+    g = simple_grating()
+    g.write(str(tmp_path), angle_in_air=0.5)
+    setup = open(tmp_path / "grating_setup.txt").read().split()
+    assert setup[0] == "1"
+    assert float(setup[1]) == pytest.approx(1200e-9)
+    assert float(setup[3]) == 0.5
+    assert int(setup[7]) == 50
+    xyrra = np.loadtxt(tmp_path / "grating_xyrra_list.txt")
+    np.testing.assert_allclose(np.atleast_2d(xyrra)[0, 2], 0.12)  # rx in um
+
+    g.write(str(tmp_path), ux_min=0.1, ux_max=0.3, uy_min=-0.1, uy_max=0.1,
+            u_steps=3, wavelength=580 * nm, index=7)
+    setup = open(tmp_path / "grating_setup7.txt").read().split()
+    assert setup[0] == "2"
+    assert float(setup[-1]) == 0.58   # wavelength in um, rounded-nm format
+
+
+def test_eps_map_analytic():
+    g = simple_grating()
+    eps, xs, ys = eps_map(g, wavelength=580 * nm, n_points=81)
+    # pillar center is TiO2, corner is air
+    assert abs(np.sqrt(eps[40, 40].real) - 2.372) < 1e-9
+    assert abs(eps[0, 0].real - 1.0) < 1e-9
+    # fill fraction approximately matches the ellipse area
+    frac = (eps.real > 2.0).mean()
+    expected = np.pi * 120e-9 * 90e-9 / (1200e-9 * 320e-9)
+    assert abs(frac - expected) < 0.02
+
+
+def test_correct_imshow_extent():
+    a = np.zeros((3, 5))
+    ext = correct_imshow_extent(a, 0.0, 4.0, 0.0, 2.0)
+    assert ext == [-0.5, 4.5, -0.5, 2.5]
+
+
+def test_rgb_multiwavelength_database():
+    g = simple_grating()
+    g.characterize(ux_min=0.3, ux_max=0.5, uy_min=-0.1, uy_max=0.1,
+                   u_steps=2, wavelength=580 * nm, numG=20)
+    n_580 = len(g.data)
+    g.characterize(ux_min=0.3, ux_max=0.5, uy_min=-0.1, uy_max=0.1,
+                   u_steps=2, wavelength=450 * nm, numG=20, append=True)
+    wls = {round(e["wavelength_in_nm"]) for e in g.data}
+    assert wls == {450, 580}
+    assert len(g.data) > n_580
+    # re-characterizing one wavelength replaces, not duplicates
+    g.characterize(ux_min=0.3, ux_max=0.5, uy_min=-0.1, uy_max=0.1,
+                   u_steps=2, wavelength=580 * nm, numG=20, append=True)
+    assert len([e for e in g.data
+                if round(e["wavelength_in_nm"]) == 580]) == n_580
+
+    # collection-level: interpolators keyed per wavelength
+    g2 = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                 grating_period=1250 * nm,
+                 xyrra_list_in_nm_deg=np.array([[10., 0., 110., 85., 0.]]))
+    gc = GratingCollection(target_wavelength=580 * nm,
+                           lateral_period=320 * nm, lens_type="cyl",
+                           grating_list=[simple_grating(), g2])
+    gc.characterize(580 * nm, numG=20, u_steps=2)
+    gc.characterize(450 * nm, numG=20, u_steps=2, append=True)
+    gc.build_interpolators()
+    wl_keys = {k[0] for k in gc.interpolators}
+    assert wl_keys == {450, 580}
