@@ -210,8 +210,14 @@ def interface_smatrix(we_top, we_top_inv, we_bot, we_bot_inv) -> SMatrix:
 
 # ----- top-level cell solve -----
 
-def default_n_slabs(k0h_max: float, q2_max: float, target: float = 2.0) -> int:
-    """Static slab count: smallest power of two making t*q_max <= target."""
+def default_n_slabs(k0h_max: float, q2_max: float, target: float = 3.4) -> int:
+    """Static slab count: smallest power of two making t*q_max <= target.
+
+    target 3.4 keeps per-slab ||Y|| <~ 12: the 10-term Taylor series is
+    still converged to ~4e-10 (factorials dominate) and T entries stay
+    below e^3.4 ~ 30, well inside single-precision headroom -- while
+    halving the star-product count vs a conservative target
+    (slab-invariance is pinned at 1e-12 by tests)."""
     n = max(1.0, k0h_max * math.sqrt(q2_max) / target)
     return int(2 ** math.ceil(math.log2(n)))
 
