@@ -2,8 +2,9 @@
 """End-to-end demo: design a miniature round collimator and compute its
 focal performance.  Mirrors the reference README workflow
 (grating -> optimize -> vary_angle -> characterize -> hex center ->
-make_design -> near-field -> far-field -> DXF/SVG export), at a small scale
-so it runs in a few minutes.
+make_design -> near-field -> far-field -> DXF/SVG export).  ~25 min on CPU
+(--cpu); a typical result: 75-member collection, 3 periphery rings + hex
+center (~1700 pillars), 84% transmission with a collimated on-axis beam.
 
     python examples/collimator_demo.py [--cpu] [--outdir DIR]
 """

@@ -32,8 +32,23 @@ import jax.numpy as jnp
 from .materials import resolve_indices
 from .solver import basis, cpx, orders as ordmod, rcwa
 from .solver.cpx import C
+from .solver.epsilon import ellipse_structure_toeplitz, toeplitz_from_structure
 from .solver.fom import FomTerm, DEFAULT_FOM_TERMS, term_score
 from .units import nm, pi
+
+
+def small_u_ok(g, orders) -> bool:
+    """True when every Bessel argument u = |G'| r stays safely below the
+    J1 rational-fit range (|u| < 8) for this cell's concrete geometry, so
+    the asymptotic branch can be compiled out (30% headroom for geometry
+    drift during optimization)."""
+    orders = np.asarray(orders)
+    gx = orders[:, 0] * (2 * pi / g.grating_period)
+    gy = orders[:, 1] * (2 * pi / g.lateral_period)
+    # difference set doubles the max |G|
+    g_max = 2.0 * float(np.sqrt(gx ** 2 + gy ** 2).max())
+    r_max = float(np.abs(np.asarray(g.xyrra_list)[:, 2:4]).max())
+    return g_max * 1.3 * r_max < 7.5
 
 
 def _default_rdtype():
@@ -66,11 +81,13 @@ def static_solve_config(g, wavelengths, numG):
 
 @functools.lru_cache(maxsize=256)
 def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
-                 target_idx: tuple, inphase: tuple, with_grad: bool):
+                 target_idx: tuple, inphase: tuple, with_grad: bool,
+                 small_u: bool = False):
     """Build (and cache) the jitted FOM program for a static configuration.
 
     Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p (C), eps_g (C),
-    lam, ux, n_glass_now, cos_theta, weights.
+    lam, ux, n_glass_now, cos_theta, weights.  The geometry structure matrix
+    (lambda-independent) is computed once and shared by all terms.
     """
     orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
     N = orders.shape[0]
@@ -81,9 +98,12 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
             weights):
         total = 0.0
         wsum = 0.0
+        S_struct, at_zero = ellipse_structure_toeplitz(
+            orders, Lx, Ly, xyrra, small_arg_only=small_u)
         for t in range(T):
-            S, Kx, Ky = rcwa.cell_smatrix(
-                orders, xyrra, Lx, Ly, h, eps_p[t], eps_g[t], lam[t],
+            E = toeplitz_from_structure(S_struct, at_zero, eps_p[t])
+            S, Kx, Ky = rcwa.cell_smatrix_with_eps(
+                orders, E, Lx, Ly, h, eps_g[t], lam[t],
                 ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms)
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
@@ -150,7 +170,7 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
     orders, n_slabs, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
-                      False)
+                      False, small_u_ok(g, orders))
     xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list,
                      dtype=rdtype)
     val = fn(xy, g.grating_period, g.lateral_period, g.cyl_height, *arrays)
@@ -165,7 +185,7 @@ def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
     orders, n_slabs, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
-                      True)
+                      True, small_u_ok(g, orders))
 
     def vg(xyrra):
         return fn(jnp.asarray(xyrra, dtype=rdtype), g.grating_period,
@@ -187,7 +207,8 @@ def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _characterize_program(orders_key, n_slabs: int, taylor_terms: int):
+def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
+                          small_u: bool = False):
     """Jitted sweep kernel, vmapped over the incidence batch:
     (xyrra, Lx, Ly, h, eps_p (C), eps_g (C), lam, ux[B], uy[B])
     -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis 0='y', 1='x' incidence."""
@@ -198,7 +219,8 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int):
     def run_one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
-            n_slabs=n_slabs, taylor_terms=taylor_terms)
+            n_slabs=n_slabs, taylor_terms=taylor_terms,
+            eps_small_u=small_u)
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         ampf = (S.s11 @ c).T                        # C (2, 2N)
@@ -230,7 +252,8 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     assert convert_to_xy, "raw s/p output retired; x/y is the native basis"
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs = static_solve_config(g, [wavelength], numG)
-    fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms)
+    fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms,
+                               small_u_ok(g, orders))
     N = orders.shape[0]
 
     if u_steps == 1:

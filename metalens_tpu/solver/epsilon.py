@@ -58,10 +58,10 @@ def _distinct_differences(orders):
             inv.reshape(dmx.shape).astype(np.int32))
 
 
-def eps_fourier_ellipses(gx, gy, xyrra, eps_fill, eps_bg, area) -> C:
-    """eps_hat at wavevectors (gx, gy): eps_bg background plus ellipses of
-    eps_fill.  gx, gy real arrays of matching shape; xyrra (nE, 5).
-    eps_fill/eps_bg may be python complex (absorbing materials)."""
+def ellipse_shape_sum(gx, gy, xyrra, area, small_arg_only=False):
+    """Geometry-only structure factor S(G) = (1/area) * sum_ellipses
+    FT[indicator](G) e^{-i G.r0}: the lambda- and material-independent part
+    of eps_hat.  eps_hat = eps_bg at_zero + (eps_fill - eps_bg) * S."""
     x0, y0 = xyrra[:, 0], xyrra[:, 1]
     rx, ry = xyrra[:, 2], xyrra[:, 3]
     ang = xyrra[:, 4]
@@ -70,10 +70,20 @@ def eps_fourier_ellipses(gx, gy, xyrra, eps_fill, eps_bg, area) -> C:
     gye = gy[..., None]
     u1 = (gxe * ca + gye * sa) * rx
     u2 = (-gxe * sa + gye * ca) * ry
-    shape_ft = TWO_PI * rx * ry * j1_over_x_from_sq(u1 * u1 + u2 * u2)
+    shape_ft = TWO_PI * rx * ry * j1_over_x_from_sq(
+        u1 * u1 + u2 * u2, small_arg_only=small_arg_only)
     phase = cpx.expi(-(gxe * x0 + gye * y0))          # e^{-i G.r0}
+    return (phase * shape_ft).sum(-1) * (1.0 / area)
+
+
+def eps_fourier_ellipses(gx, gy, xyrra, eps_fill, eps_bg, area,
+                         small_arg_only=False) -> C:
+    """eps_hat at wavevectors (gx, gy): eps_bg background plus ellipses of
+    eps_fill.  gx, gy real arrays of matching shape; xyrra (nE, 5).
+    eps_fill/eps_bg may be python complex (absorbing materials)."""
+    S = ellipse_shape_sum(gx, gy, xyrra, area, small_arg_only)
     d_eps = cpx.promote(eps_fill) - cpx.promote(eps_bg)   # traceable C scalar
-    contrib = (phase * shape_ft).sum(-1) * d_eps * (1.0 / area)
+    contrib = S * d_eps
     at_zero = jnp.where((gx == 0) & (gy == 0), 1.0, 0.0)
     return contrib + cpx.promote(eps_bg) * at_zero
 
@@ -92,19 +102,40 @@ def eps_fourier_rect(gx, gy, center, widths, eps_fill, eps_bg, area) -> C:
     return contrib + cpx.promote(eps_bg) * at_zero
 
 
-def ellipse_layer_toeplitz(orders, grating_period, lateral_period, xyrra,
-                           eps_pillar, eps_bg=1.0) -> C:
-    """N x N Laurent Toeplitz eps matrix of the pillar layer.
-    Differentiable w.r.t. xyrra and the periods.  eps_hat is evaluated once
-    per *distinct* order difference and gathered into the Toeplitz layout."""
+def ellipse_structure_toeplitz(orders, grating_period, lateral_period,
+                               xyrra, small_arg_only=False):
+    """The lambda-/material-independent Toeplitz structure pair:
+    (S_matrix, at_zero_mask) such that
+    E = eps_bg * diag-ish(at_zero) + (eps_pillar - eps_bg) * S.
+    Computing S once amortizes the special-function work across all
+    wavelength terms of a figure of merit (it does not depend on lambda)."""
     area = grating_period * lateral_period
     xyrra = jnp.asarray(xyrra)
     dmx_u, dmy_u, gather = _distinct_differences(orders)
     gx = jnp.asarray(dmx_u, dtype=xyrra.dtype) * (TWO_PI / grating_period)
     gy = jnp.asarray(dmy_u, dtype=xyrra.dtype) * (TWO_PI / lateral_period)
-    flat = eps_fourier_ellipses(gx, gy, xyrra, eps_pillar, eps_bg, area)
+    S_flat = ellipse_shape_sum(gx, gy, xyrra, area, small_arg_only)
+    zero_flat = jnp.where((gx == 0) & (gy == 0), 1.0, 0.0)
     idx = jnp.asarray(gather)
-    return C(flat.re[idx], flat.im[idx])
+    return C(S_flat.re[idx], S_flat.im[idx]), zero_flat[idx]
+
+
+def toeplitz_from_structure(structure, at_zero, eps_pillar, eps_bg=1.0) -> C:
+    """Assemble the eps Toeplitz from a precomputed structure pair."""
+    d_eps = cpx.promote(eps_pillar) - cpx.promote(eps_bg)
+    return structure * d_eps + cpx.promote(eps_bg) * at_zero
+
+
+def ellipse_layer_toeplitz(orders, grating_period, lateral_period, xyrra,
+                           eps_pillar, eps_bg=1.0,
+                           small_arg_only=False) -> C:
+    """N x N Laurent Toeplitz eps matrix of the pillar layer.
+    Differentiable w.r.t. xyrra and the periods.  eps_hat is evaluated once
+    per *distinct* order difference and gathered into the Toeplitz layout."""
+    S, at_zero = ellipse_structure_toeplitz(orders, grating_period,
+                                            lateral_period, xyrra,
+                                            small_arg_only)
+    return toeplitz_from_structure(S, at_zero, eps_pillar, eps_bg)
 
 
 def rect_layer_toeplitz(orders, grating_period, lateral_period, center,

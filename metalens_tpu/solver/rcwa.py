@@ -268,7 +268,7 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
 def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
                  eps_pillar, eps_glass, wavelength, ux, uy,
                  n_slabs: int, taylor_terms: int = 10,
-                 branch_eps: float = 1e-9):
+                 branch_eps: float = 1e-9, eps_small_u: bool = False):
     """Full air / pillar-layer / glass S-matrix for one unit cell at one
     incidence direction and wavelength.  Ports: top = air plane-wave basis,
     bottom = glass plane-wave basis (exactly S4's GetAmplitudes bases).
@@ -278,7 +278,8 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
     are static.  Returns (S, Kx, Ky).
     """
     E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,
-                               lateral_period, xyrra, eps_pillar)
+                               lateral_period, xyrra, eps_pillar,
+                               small_arg_only=eps_small_u)
     return cell_smatrix_with_eps(orders, E, grating_period, lateral_period,
                                  cyl_height, eps_glass, wavelength, ux, uy,
                                  n_slabs=n_slabs, taylor_terms=taylor_terms,

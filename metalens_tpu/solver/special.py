@@ -58,15 +58,28 @@ def j1_over_x(x):
     return jnp.where(ax < 1e-6, taylor, j1(safe) / safe)
 
 
-def j1_over_x_from_sq(x2):
+def j1_small(x):
+    """J1 for |x| < 8 only (the rational fit, no asymptotic branch).  Half
+    the op count of :func:`j1`; callers must guarantee the range (pillar
+    geometry usually does: u = |G'| * r stays well under 8 for visible-light
+    cells)."""
+    y = x * x
+    return x * _poly(_P1, y) / _poly(_Q1, y)
+
+
+def j1_over_x_from_sq(x2, small_arg_only: bool = False):
     """J1(sqrt(x2))/sqrt(x2) as a function of the *squared* argument.
 
     Written so that the gradient w.r.t. x2 is finite at x2 = 0 (a plain
     sqrt(0) inside would poison reverse-mode AD with NaN -- the diagonal of
-    every Toeplitz eps matrix hits exactly this point)."""
+    every Toeplitz eps matrix hits exactly this point).
+
+    ``small_arg_only=True`` uses the |x| < 8 rational fit alone (caller
+    guarantees the range)."""
     x2 = jnp.asarray(x2)
     small = x2 < 1e-12
     safe_x2 = jnp.where(small, 1.0, x2)
     x = jnp.sqrt(safe_x2)
     taylor = 0.5 - x2 / 16.0
-    return jnp.where(small, taylor, j1(x) / x)
+    j1x = j1_small(x) if small_arg_only else j1(x)
+    return jnp.where(small, taylor, j1x / x)
