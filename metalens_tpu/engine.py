@@ -82,7 +82,7 @@ def static_solve_config(g, wavelengths, numG):
 @functools.lru_cache(maxsize=256)
 def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
                  target_idx: tuple, inphase: tuple, with_grad: bool,
-                 small_u: bool = False):
+                 small_u: bool = False, fff: bool = False):
     """Build (and cache) the jitted FOM program for a static configuration.
 
     Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p (C), eps_g (C),
@@ -100,11 +100,26 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
         wsum = 0.0
         S_struct, at_zero = ellipse_structure_toeplitz(
             orders, Lx, Ly, xyrra, small_arg_only=small_u)
+        if fff:
+            from .solver.fff import normal_projector_toeplitz
+            P_blocks = normal_projector_toeplitz(orders, Lx, Ly, xyrra)
         for t in range(T):
             E = toeplitz_from_structure(S_struct, at_zero, eps_p[t])
+            M_blocks = None
+            if fff:
+                E_recip = (S_struct * (cpx.promote(1.0) / eps_p[t]
+                                       - cpx.promote(1.0))
+                           + cpx.promote(1.0) * at_zero)
+                inv_recip = cpx.cho_solve_hermitian(
+                    E_recip, cpx.eye(E.shape[0], E.re.dtype))
+                Delta = E - inv_recip
+                Pxx, Pxy, Pyy = P_blocks
+                M_blocks = (E - Delta @ Pxx, -(Delta @ Pxy),
+                            E - Delta @ Pyy)
             S, Kx, Ky = rcwa.cell_smatrix_with_eps(
                 orders, E, Lx, Ly, h, eps_g[t], lam[t],
-                ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms)
+                ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms,
+                M_blocks=M_blocks)
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
             c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
@@ -163,14 +178,18 @@ def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
 
 def fom_of_grating(g, target_wavelength=None, numG: int = 50,
                    terms: Sequence[FomTerm] | None = None,
-                   taylor_terms: int = 10, rdtype=None, xyrra=None) -> float:
+                   taylor_terms: int = 10, rdtype=None, xyrra=None,
+                   fff: bool = False) -> float:
     """Figure of merit of one Grating (the ``run_lua`` replacement,
-    reference stack ``grating.py:283-317`` + ``grating.lua:290-332``)."""
+    reference stack ``grating.py:283-317`` + ``grating.lua:290-332``).
+    ``fff=True`` enables the normal-vector Fourier factorization (the
+    accuracy class of S4's UseNormalVectorBasis) -- markedly faster numG
+    convergence at ~25% extra cost per solve."""
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
-                      False, small_u_ok(g, orders))
+                      False, small_u_ok(g, orders), fff)
     xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list,
                      dtype=rdtype)
     val = fn(xy, g.grating_period, g.lateral_period, g.cyl_height, *arrays)
@@ -178,14 +197,17 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
 
 
 def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
-                       terms=None, taylor_terms: int = 10, rdtype=None):
+                       terms=None, taylor_terms: int = 10, rdtype=None,
+                       fff: bool = False):
     """Return a function xyrra -> (fom, d fom / d xyrra), jitted & cached.
-    Exact shape derivatives through the whole solve."""
+    Exact shape derivatives through the whole solve (with fff=True the
+    factorization-correction matrices are stop-gradiented; derivatives flow
+    through the analytic Laurent part)."""
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
-                      True, small_u_ok(g, orders))
+                      True, small_u_ok(g, orders), fff)
 
     def vg(xyrra):
         return fn(jnp.asarray(xyrra, dtype=rdtype), g.grating_period,
@@ -208,7 +230,7 @@ def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
 
 @functools.lru_cache(maxsize=256)
 def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
-                          small_u: bool = False):
+                          small_u: bool = False, fff: bool = False):
     """Jitted sweep kernel, vmapped over the incidence batch:
     (xyrra, Lx, Ly, h, eps_p (C), eps_g (C), lam, ux[B], uy[B])
     -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis 0='y', 1='x' incidence."""
@@ -220,7 +242,7 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
             n_slabs=n_slabs, taylor_terms=taylor_terms,
-            eps_small_u=small_u)
+            eps_small_u=small_u, fff=fff)
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         ampf = (S.s11 @ c).T                        # C (2, 2N)
@@ -236,7 +258,7 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
                          wavelength, numG: int, just_normal: bool = False,
                          convert_to_xy: bool = True, include_tir: bool = False,
                          taylor_terms: int = 10, rdtype=None,
-                         max_scan_order: int = 5):
+                         max_scan_order: int = 5, fff: bool = False):
     """Amplitude database sweep for one grating: returns the reference's
     list-of-dicts schema (``grating.py:408-478``), computed as one batched
     on-device solve over the (ux, uy) grid with both incident polarizations
@@ -253,7 +275,7 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs = static_solve_config(g, [wavelength], numG)
     fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms,
-                               small_u_ok(g, orders))
+                               small_u_ok(g, orders), fff)
     N = orders.shape[0]
 
     if u_steps == 1:

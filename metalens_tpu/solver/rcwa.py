@@ -82,12 +82,16 @@ def _right_bmul(M: C, blocks) -> C:
     return cpx.concatenate([left, right], axis=1)
 
 
-def build_FG(E: C, Einv: C, Kx, Ky):
-    """The first-order Maxwell operators for a patterned layer (Laurent
-    factorization; K's normalized by k0):
+def build_FG(E: C, Einv: C, Kx, Ky, M_blocks=None):
+    """The first-order Maxwell operators for a patterned layer (K's
+    normalized by k0):
 
         dz [ex;ey] = i k0 F [hx;hy],   dz [hx;hy] = i k0 G [ex;ey].
-    """
+
+    ``M_blocks = (Mxx, Mxy, Myy)`` is the in-plane eps operator
+    ([eps E]_x = Mxx ex + Mxy ey etc.); None means the Laurent rule
+    (Mxx = Myy = E, Mxy = 0).  The E_z elimination in F always uses the
+    Laurent inverse Einv (Ez is tangential at pillar walls)."""
     N = Kx.shape[0]
     KxE = Einv * Kx[:, None]
     KyE = Einv * Ky[:, None]
@@ -100,9 +104,15 @@ def build_FG(E: C, Einv: C, Kx, Ky):
     dKxKy = jnp.diag(Kx * Ky)
     dKx2 = jnp.diag(Kx * Kx)
     dKy2 = jnp.diag(Ky * Ky)
+    if M_blocks is None:
+        Mxx, Mxy, Myy = E, None, E
+    else:
+        Mxx, Mxy, Myy = M_blocks
+    G11 = cpx.promote(-dKxKy) if Mxy is None else (-Mxy) + (-dKxKy)
+    G22 = cpx.promote(dKxKy) if Mxy is None else Mxy + dKxKy
     G = cpx.concatenate([
-        cpx.concatenate([cpx.promote(-dKxKy), (-E) + dKx2], axis=1),
-        cpx.concatenate([E - dKy2, cpx.promote(dKxKy)], axis=1)], axis=0)
+        cpx.concatenate([G11, (-Myy) + dKx2], axis=1),
+        cpx.concatenate([Mxx - dKy2, G22], axis=1)], axis=0)
     return F, G
 
 
@@ -244,13 +254,14 @@ EPS_REF = 1.5 + 1.0j
 
 
 def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
-                  eps_ref=EPS_REF, branch_eps: float = 1e-9) -> SMatrix:
+                  eps_ref=EPS_REF, branch_eps: float = 1e-9,
+                  M_blocks=None) -> SMatrix:
     """S-matrix of the patterned layer of normalized thickness ``k0h``,
     expressed in the plane-wave basis of the ``eps_ref`` reference medium on
     both faces (convert with :func:`interface_smatrix` to physical bases)."""
     N = E.shape[0]
     Einv = cpx.cho_solve_hermitian(E, cpx.eye(N, E.re.dtype))
-    F, G = build_FG(E, Einv, Kx, Ky)
+    F, G = build_FG(E, Einv, Kx, Ky, M_blocks)
     t = k0h / n_slabs
     T = thin_slab_T_blocks(F, G, t, taylor_terms)
 
@@ -268,7 +279,8 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
 def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
                  eps_pillar, eps_glass, wavelength, ux, uy,
                  n_slabs: int, taylor_terms: int = 10,
-                 branch_eps: float = 1e-9, eps_small_u: bool = False):
+                 branch_eps: float = 1e-9, eps_small_u: bool = False,
+                 fff: bool = False):
     """Full air / pillar-layer / glass S-matrix for one unit cell at one
     incidence direction and wavelength.  Ports: top = air plane-wave basis,
     bottom = glass plane-wave basis (exactly S4's GetAmplitudes bases).
@@ -277,19 +289,27 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
     python complex or C scalars.  ``orders``, ``n_slabs``, ``taylor_terms``
     are static.  Returns (S, Kx, Ky).
     """
-    E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,
-                               lateral_period, xyrra, eps_pillar,
-                               small_arg_only=eps_small_u)
+    if fff:
+        from .fff import fff_eps_blocks
+        E, Mxx, Mxy, Myy = fff_eps_blocks(
+            np.asarray(orders), grating_period, lateral_period, xyrra,
+            eps_pillar, small_arg_only=eps_small_u)
+        M_blocks = (Mxx, Mxy, Myy)
+    else:
+        E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,
+                                   lateral_period, xyrra, eps_pillar,
+                                   small_arg_only=eps_small_u)
+        M_blocks = None
     return cell_smatrix_with_eps(orders, E, grating_period, lateral_period,
                                  cyl_height, eps_glass, wavelength, ux, uy,
                                  n_slabs=n_slabs, taylor_terms=taylor_terms,
-                                 branch_eps=branch_eps)
+                                 branch_eps=branch_eps, M_blocks=M_blocks)
 
 
 def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
                           cyl_height, eps_glass, wavelength, ux, uy,
                           n_slabs: int, taylor_terms: int = 10,
-                          branch_eps: float = 1e-9):
+                          branch_eps: float = 1e-9, M_blocks=None):
     """As :func:`cell_smatrix` but with the layer's Toeplitz eps matrix given
     directly (any pattern: ellipses, rectangles, uniform media)."""
     orders = np.asarray(orders)
@@ -301,7 +321,7 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
 
     k0h = TWO_PI * cyl_height / wavelength
     S_layer = layer_smatrix(E, Kx, Ky, k0h, n_slabs, taylor_terms,
-                            branch_eps=branch_eps)
+                            branch_eps=branch_eps, M_blocks=M_blocks)
 
     # zero-thickness conversion interfaces: air | ref basis at the top face,
     # ref basis | glass at the bottom face (the ref representation cancels

@@ -1,0 +1,105 @@
+"""Normal-vector Fourier factorization: convergence-acceleration evidence.
+
+The Laurent rule converges slowly for TM-ish amplitudes (still drifting at
+numG=361 for the two-pillar test cell); the NV factorization at numG~60
+lands where Laurent is headed.  This pins: (a) FFF@mid agrees with FFF@high
+to a few %, (b) Laurent@mid is much farther from FFF@high than FFF@mid is,
+(c) the Laurent sequence drifts monotonically *toward* the FFF value, and
+(d) the projector field is a true projector (Pxx + Pyy = identity)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from metalens_tpu.solver import cpx, orders as ordmod, rcwa, basis
+from metalens_tpu.solver.fff import normal_projector_toeplitz
+from metalens_tpu.units import nm
+
+LX, LY = 1200 * nm, 320 * nm
+LAM = 580 * nm
+H = 550 * nm
+NG, NT = 1.459, 2.372
+XYRRA = np.array([[-215 * nm, 2 * nm, 144 * nm, 111 * nm, 0.0],
+                  [196 * nm, -8 * nm, 100 * nm, 130 * nm, 0.1]])
+
+
+def solve_amp(numG, fff, ux=0.45):
+    orders = ordmod.select_orders(LX, LY, numG)
+    i0 = ordmod.order_index(orders, 0, 0)
+    im1 = ordmod.order_index(orders, -1, 0)
+    q2 = rcwa.q2_upper_bound(orders, LX, LY, LAM, NT ** 2)
+    ns = rcwa.default_n_slabs(2 * np.pi * H / LAM, q2)
+    S, Kx, Ky = rcwa.cell_smatrix(orders, jnp.asarray(XYRRA), LX, LY, H,
+                                  NT ** 2, NG ** 2, LAM, ux, 0.0,
+                                  n_slabs=ns, taylor_terms=10, fff=fff)
+    cy, cx = basis.incident_sp_amplitudes(ux, 0.0, "p")
+    c = jnp.zeros(2 * numG).at[i0].set(cy).at[i0 + numG].set(cx)
+    ampf, _ = rcwa.scatter_amplitudes(S, c)
+    return cpx.to_np(ampf)[im1 + numG]
+
+
+def test_projector_field_is_projector():
+    orders = ordmod.select_orders(LX, LY, 25)
+    Pxx, Pxy, Pyy = normal_projector_toeplitz(orders, LX, LY,
+                                              jnp.asarray(XYRRA))
+    trace = cpx.to_np(Pxx) + cpx.to_np(Pyy)
+    np.testing.assert_allclose(trace, np.eye(25), atol=1e-10)
+    # blocks Hermitian (real n-field)
+    np.testing.assert_allclose(cpx.to_np(Pxy),
+                               cpx.to_np(Pxy).conj().T, atol=1e-10)
+
+
+def test_fff_accelerates_convergence():
+    ref = solve_amp(161, True)
+    a_fff_61 = solve_amp(61, True)
+    a_lau_61 = solve_amp(61, False)
+    a_lau_161 = solve_amp(161, False)
+    err_fff = abs(a_fff_61 - ref) / abs(ref)
+    err_lau = abs(a_lau_61 - ref) / abs(ref)
+    assert err_fff < 0.06
+    assert err_fff < 0.5 * err_lau
+    # the Laurent sequence approaches the FFF limit as numG grows
+    assert abs(a_lau_161 - ref) < abs(a_lau_61 - ref)
+
+
+def test_fff_energy_approximate():
+    """NV factorization trades the Laurent rule's exact energy structure for
+    convergence; the violation must stay small and shrink with numG."""
+    def energy(numG):
+        orders = ordmod.select_orders(LX, LY, numG)
+        i0 = ordmod.order_index(orders, 0, 0)
+        q2 = rcwa.q2_upper_bound(orders, LX, LY, LAM, NT ** 2)
+        ns = rcwa.default_n_slabs(2 * np.pi * H / LAM, q2)
+        S, Kx, Ky = rcwa.cell_smatrix(orders, jnp.asarray(XYRRA), LX, LY, H,
+                                      NT ** 2, NG ** 2, LAM, 0.45, 0.0,
+                                      n_slabs=ns, taylor_terms=10, fff=True)
+        cy, cx = basis.incident_sp_amplitudes(0.45, 0.0, "p")
+        c = jnp.zeros(2 * numG).at[i0].set(cy).at[i0 + numG].set(cx)
+        ampf, ampr = rcwa.scatter_amplitudes(S, c)
+        Kz_g = basis.kz_norm(Kx, Ky, NG ** 2)
+        Kz_a = basis.kz_norm(Kx, Ky, 1.0)
+        Pt = float(basis.order_powers(cpx.to_np(ampf), Kx, Ky, Kz_g,
+                                      NG).sum())
+        Pr = float(basis.backward_order_powers(cpx.to_np(ampr), Kx, Ky,
+                                               Kz_a, 1.0).sum())
+        Pin = float(basis.order_powers(np.asarray(c), Kx, Ky, Kz_a,
+                                       1.0).sum())
+        return (Pt + Pr) / Pin
+    e61 = energy(61)
+    e121 = energy(121)
+    assert abs(e61 - 1) < 0.03
+    assert abs(e121 - 1) < abs(e61 - 1)
+
+
+def test_engine_fff_flag():
+    from metalens_tpu import Grating
+    from metalens_tpu.solver.fom import FomTerm
+    g = Grating(lateral_period=LY, cyl_height=H, grating_period=LX,
+                xyrra_list_in_nm_deg=np.array([[-215., 2., 144., 111., 0.],
+                                               [196., -8., 100., 130., 5.7]]))
+    terms = [FomTerm(LAM, 1.0, -1, True)]
+    f_lau = g.fom(target_wavelength=LAM, numG=30, terms=terms)
+    from metalens_tpu.engine import fom_of_grating
+    f_fff = fom_of_grating(g, target_wavelength=LAM, numG=30, terms=terms,
+                           fff=True)
+    assert np.isfinite(f_fff) and f_fff != f_lau
