@@ -506,12 +506,40 @@ class GratingCollection:
         from .serialization import save
         return save(self, path)
 
-    def export_to_lumerical(self, *args, **kwargs):
-        raise NotImplementedError(
-            "Lumerical export is not supported in metalens_tpu; the "
-            "independent cross-check role is filled by the eigendecomposition "
-            "solver path and analytic transfer-matrix limits "
-            "(see metalens_tpu.solver.eig and tests/test_rcwa_fresnel.py).")
+    def export_to_lumerical(self, directory="temp", angle_in_air=None,
+                            grating_period=None, lateral_period=None):
+        """Write the reference's indexed job-file series consumed by its
+        Lumerical batch harness (reference ``grating.py:1137-1158``): one
+        setup+xyrra pair per member (or a single member selected by angle/
+        period), with the one-past-the-end files removed so the harness
+        knows where to stop.  The in-framework cross-validation role is
+        filled by :mod:`metalens_tpu.solver.eig`; this exists for users who
+        still run the external FDTD comparison."""
+        import os
+        if any(x is not None for x in (angle_in_air, grating_period,
+                                       lateral_period)):
+            g = self.get_one(angle_in_air=angle_in_air,
+                             grating_period=grating_period,
+                             lateral_period=lateral_period)
+            g.write(directory,
+                    angle_in_air=g.get_angle_in_air(self.target_wavelength),
+                    index=0)
+            for fname in ("grating_setup1.txt", "grating_xyrra_list1.txt"):
+                p = os.path.join(directory, fname)
+                if os.path.isfile(p):
+                    os.remove(p)
+            return directory
+        i = 0
+        for g in self.grating_list:
+            g.write(directory,
+                    angle_in_air=g.get_angle_in_air(self.target_wavelength),
+                    index=i)
+            i += 1
+        for fname in (f"grating_setup{i}.txt", f"grating_xyrra_list{i}.txt"):
+            p = os.path.join(directory, fname)
+            if os.path.isfile(p):
+                os.remove(p)
+        return directory
 
     def show_graphs(self, *args, **kwargs):
         from .viz import show_collection_graphs

@@ -1,0 +1,94 @@
+"""Smoke tests of the diagnostics/plots (Agg backend): every viz entry point
+produces a figure/artifact without touching a display."""
+
+import os
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+matplotlib.use("Agg", force=True)
+
+from metalens_tpu import Grating, GratingCollection
+from metalens_tpu import viz
+from metalens_tpu.units import nm
+
+
+@pytest.fixture(scope="module")
+def characterized_grating():
+    g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                grating_period=1200 * nm,
+                xyrra_list_in_nm_deg=np.array([[0., 0., 120., 90., 10.]]))
+    g.characterize(ux_min=0.3, ux_max=0.5, uy_min=-0.1, uy_max=0.1,
+                   u_steps=2, wavelength=580 * nm, numG=20)
+    return g
+
+
+def test_show_config(characterized_grating):
+    fig = viz.show_config(characterized_grating)
+    import matplotlib.patches as mp
+    kids = fig.gca().get_children()
+    assert sum(isinstance(k, mp.Ellipse) for k in kids) >= 1
+    assert sum(isinstance(k, mp.Rectangle) for k in kids) >= 1
+
+
+def test_show_characterization(characterized_grating):
+    fig = viz.show_characterization(characterized_grating, my_order=(0, 0),
+                                    my_pol="x", my_wavelength=580,
+                                    which_amp="ampfx")
+    assert fig is not None
+
+
+def test_plot_eps(characterized_grating):
+    fig = viz.plot_eps(characterized_grating, wavelength=580 * nm,
+                       n_points=41)
+    assert fig is not None
+
+
+def test_show_collection_graphs_and_gif(tmp_path, characterized_grating):
+    g2 = characterized_grating.copy()
+    g2.grating_period = 1250 * nm
+    gc = GratingCollection(target_wavelength=580 * nm,
+                           lateral_period=320 * nm, lens_type="cyl",
+                           grating_list=[characterized_grating.copy(), g2])
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        gif = str(tmp_path / "anim.gif")
+        frames = viz.show_collection_graphs(gc, anim_filename=gif)
+        assert len(frames) == 2
+        assert all(os.path.isfile(f) for f in frames)
+        assert os.path.isfile(gif) and os.path.getsize(gif) > 0
+    finally:
+        os.chdir(cwd)
+
+
+def test_plot_round_lateral_period():
+    figs = viz.plot_round_lateral_period(150e-6, 3427)
+    assert len(figs) == 2
+
+
+def test_hexgrid_show_properties():
+    from metalens_tpu.hexgrid import HexGridSet
+    hgs = HexGridSet(sep=320 * nm, cyl_height=550 * nm, num_entries=3)
+    hgs.characterize(wavelength=580 * nm, numG=20, just_normal=True)
+    fig = hgs.show_properties()
+    assert fig is not None
+
+
+def test_export_to_lumerical_series(tmp_path):
+    g1 = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                 grating_period=1200 * nm,
+                 xyrra_list_in_nm_deg=np.array([[0., 0., 120., 90., 0.]]))
+    g2 = g1.copy()
+    g2.grating_period = 1250 * nm
+    gc = GratingCollection(target_wavelength=580 * nm,
+                           lateral_period=320 * nm, lens_type="cyl",
+                           grating_list=[g1, g2])
+    d = str(tmp_path / "lum")
+    gc.export_to_lumerical(directory=d)
+    assert os.path.isfile(os.path.join(d, "grating_setup0.txt"))
+    assert os.path.isfile(os.path.join(d, "grating_setup1.txt"))
+    assert not os.path.isfile(os.path.join(d, "grating_setup2.txt"))
+    setup = open(os.path.join(d, "grating_setup0.txt")).read().split()
+    assert setup[0] == "1"  # FOM-mode file with angle_in_air
