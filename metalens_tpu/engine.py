@@ -249,8 +249,10 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
         ampr = (S.s21 @ c).T
         return ampf, ampr
 
+    # batch jointly over (wavelength, ux, uy): eps and lam ride the batch
+    # axis so an RGB sweep is a single device program
     batched = jax.vmap(run_one,
-                       in_axes=(None, None, None, None, None, None, None, 0, 0))
+                       in_axes=(None, None, None, None, 0, 0, 0, 0, 0))
     return jax.jit(batched)
 
 
@@ -273,7 +275,9 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     """
     assert convert_to_xy, "raw s/p output retired; x/y is the native basis"
     rdtype = rdtype or _default_rdtype()
-    orders, n_slabs = static_solve_config(g, [wavelength], numG)
+    wavelengths = ([wavelength] if np.isscalar(wavelength)
+                   else list(wavelength))
+    orders, n_slabs = static_solve_config(g, wavelengths, numG)
     fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms,
                                small_u_ok(g, orders), fff)
     N = orders.shape[0]
@@ -285,28 +289,44 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
         ux_list = np.linspace(ux_min, ux_max, u_steps)
         uy_list = np.linspace(uy_min, uy_max, u_steps)
     UX, UY = np.meshgrid(ux_list, uy_list, indexing="ij")
-    ux_flat, uy_flat = UX.ravel(), UY.ravel()
-    inside = ux_flat ** 2 + uy_flat ** 2 < 1.0
-    ux_flat, uy_flat = ux_flat[inside], uy_flat[inside]
+    ux_grid, uy_grid = UX.ravel(), UY.ravel()
+    inside = ux_grid ** 2 + uy_grid ** 2 < 1.0
+    ux_grid, uy_grid = ux_grid[inside], uy_grid[inside]
 
-    ng, nt = resolve_indices(g.n_glass, g.n_tio2, wavelength)
+    # joint (wavelength x direction) batch: one device sweep fills an RGB
+    # database
+    lam_flat, ux_flat, uy_flat, epsp_flat, epsg_flat, ng_flat = \
+        [], [], [], [], [], []
+    for lam in wavelengths:
+        ng, nt = resolve_indices(g.n_glass, g.n_tio2, lam)
+        for b in range(len(ux_grid)):
+            lam_flat.append(lam)
+            ux_flat.append(ux_grid[b])
+            uy_flat.append(uy_grid[b])
+            epsp_flat.append(complex(nt) ** 2)
+            epsg_flat.append(complex(ng) ** 2)
+            ng_flat.append(float(np.real(ng)))
+    ux_flat = np.asarray(ux_flat)
+    uy_flat = np.asarray(uy_flat)
+    lam_flat = np.asarray(lam_flat)
+
     ampf_c, ampr_c = fn(jnp.asarray(g.xyrra_list, rdtype), g.grating_period,
                         g.lateral_period, g.cyl_height,
-                        cpx.from_np(np.asarray(complex(nt) ** 2)).astype(rdtype),
-                        cpx.from_np(np.asarray(complex(ng) ** 2)).astype(rdtype),
-                        wavelength,
+                        cpx.from_np(np.asarray(epsp_flat)).astype(rdtype),
+                        cpx.from_np(np.asarray(epsg_flat)).astype(rdtype),
+                        jnp.asarray(lam_flat, rdtype),
                         jnp.asarray(ux_flat, rdtype),
                         jnp.asarray(uy_flat, rdtype))
     ampf = cpx.to_np(ampf_c)   # (B, 2, 2N) host complex
     ampr = cpx.to_np(ampr_c)
 
-    lam = wavelength
-    wavelength_in_nm = round(lam / nm)
     mx = orders[:, 0].astype(float)
     my = orders[:, 1].astype(float)
-    cutoff2 = (float(np.real(ng)) ** 2) if include_tir else 1.0
     data = []
     for b in range(len(ux_flat)):
+        lam = lam_flat[b]
+        wavelength_in_nm = round(lam / nm)
+        cutoff2 = (ng_flat[b] ** 2) if include_tir else 1.0
         Kx = ux_flat[b] + mx * lam / g.grating_period
         Ky = uy_flat[b] + my * lam / g.lateral_period
         prop = (Kx ** 2 + Ky ** 2) < cutoff2

@@ -239,10 +239,11 @@ class Grating:
             just_normal=just_normal, convert_to_xy=convert_to_xy)
         if append and hasattr(self, "data"):
             # accumulate across wavelengths (RGB databases); replace any
-            # prior entries at this wavelength
-            wl = round(wavelength / nm)
+            # prior entries at the newly computed wavelength(s)
+            wls = ({round(wavelength / nm)} if np.isscalar(wavelength)
+                   else {round(w / nm) for w in wavelength})
             self.data = [e for e in self.data
-                         if round(e["wavelength_in_nm"]) != wl] + new_data
+                         if round(e["wavelength_in_nm"]) not in wls] + new_data
         else:
             self.data = new_data
         return self.data

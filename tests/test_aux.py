@@ -79,3 +79,28 @@ def test_rgb_multiwavelength_database():
     gc.build_interpolators()
     wl_keys = {k[0] for k in gc.interpolators}
     assert wl_keys == {450, 580}
+
+
+def test_single_sweep_rgb_characterize():
+    """Passing a wavelength list runs one joint (lambda x direction) device
+    batch and must match per-wavelength sweeps entry for entry."""
+    g1 = simple_grating()
+    g1.characterize(ux_min=0.3, ux_max=0.5, uy_min=-0.1, uy_max=0.1,
+                    u_steps=2, wavelength=[450 * nm, 580 * nm], numG=20)
+    joint = sorted(
+        g1.data, key=lambda e: (e["wavelength_in_nm"], e["ux"], e["uy"],
+                                e["ox"], e["oy"], e["x_or_y"]))
+    g2 = simple_grating()
+    g2.characterize(ux_min=0.3, ux_max=0.5, uy_min=-0.1, uy_max=0.1,
+                    u_steps=2, wavelength=580 * nm, numG=20)
+    g2.characterize(ux_min=0.3, ux_max=0.5, uy_min=-0.1, uy_max=0.1,
+                    u_steps=2, wavelength=450 * nm, numG=20, append=True)
+    seq = sorted(
+        g2.data, key=lambda e: (e["wavelength_in_nm"], e["ux"], e["uy"],
+                                e["ox"], e["oy"], e["x_or_y"]))
+    assert len(joint) == len(seq)
+    for a, b in zip(joint, seq):
+        for k in ("wavelength_in_nm", "ux", "uy", "ox", "oy", "x_or_y"):
+            assert a[k] == b[k]
+        for k in ("ampfy", "ampfx", "ampry", "amprx"):
+            assert abs(a[k] - b[k]) < 1e-10

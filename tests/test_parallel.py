@@ -132,11 +132,14 @@ def test_sharded_characterize_matches_engine():
                     jnp.asarray(ux), jnp.asarray(uy))
     assert ampf.shape == (B, 2, 2 * numG)
 
-    # compare one element against the single-cell engine program
+    # compare one element against the single-cell engine program (which
+    # batches (wavelength, direction) jointly: give eps/lam a batch dim)
     from metalens_tpu.engine import _characterize_program, _orders_key
     single = _characterize_program(_orders_key(orders), ns, 10)
+    eps_p1 = cpx.from_np(np.asarray([NT ** 2 + 0j]))
+    eps_g1 = cpx.from_np(np.asarray([NG ** 2 + 0j]))
     a1, r1 = single(jnp.asarray(xyrra[5]), float(Lx[5]), float(Ly[5]),
-                    550 * nm, eps_p, eps_g, LAM,
+                    550 * nm, eps_p1, eps_g1, jnp.asarray([LAM]),
                     jnp.asarray([ux[5]]), jnp.asarray([uy[5]]))
     np.testing.assert_allclose(cpx.to_np(ampf[5]), cpx.to_np(a1[0]),
                                rtol=1e-9, atol=1e-12)
