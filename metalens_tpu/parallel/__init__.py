@@ -17,6 +17,8 @@ equivalents:
 from .mesh import make_mesh, default_mesh
 from .sweep import sharded_fom_and_grad, sharded_characterize_amps
 from .fft import fft2_sharded, farfield_sharded
+from .nearfield import build_nearfield_sharded
 
 __all__ = ["make_mesh", "default_mesh", "sharded_fom_and_grad",
-           "sharded_characterize_amps", "fft2_sharded", "farfield_sharded"]
+           "sharded_characterize_amps", "fft2_sharded", "farfield_sharded",
+           "build_nearfield_sharded"]

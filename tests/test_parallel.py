@@ -9,7 +9,8 @@ import pytest
 
 from metalens_tpu.parallel import (make_mesh, sharded_fom_and_grad,
                                    sharded_characterize_amps, fft2_sharded,
-                                   farfield_sharded)
+                                   farfield_sharded,
+                                   build_nearfield_sharded)
 from metalens_tpu.solver import cpx, orders as ordmod, rcwa
 from metalens_tpu.units import nm
 
@@ -143,3 +144,27 @@ def test_sharded_characterize_matches_engine():
                     jnp.asarray([ux[5]]), jnp.asarray([uy[5]]))
     np.testing.assert_allclose(cpx.to_np(ampf[5]), cpx.to_np(a1[0]),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_nearfield_matches_single_device():
+    from metalens_tpu.hexgrid import HexGridSet
+    from metalens_tpu.assembly import make_design
+    from metalens_tpu.nearfield import build_nearfield
+    from metalens_tpu.units import um
+    LAM = 580 * nm
+    hgs = HexGridSet(sep=320 * nm, cyl_height=550 * nm, num_entries=3)
+    hgs.characterize(wavelength=LAM, numG=20, just_normal=True)
+    hgs.build_interpolators()
+    _, lcs, _ = make_design([], source_distance=150 * um, radius=3 * um,
+                            hgs=hgs)
+    x = np.linspace(-3.2e-6, 3.2e-6, 48)
+    kw = dict(source_x=0.0, source_y=0.0, source_z=-np.inf, source_pol="x",
+              wavelength=LAM, lens_periphery_summary=None,
+              lens_center_summary=lcs, hexgridset=hgs,
+              dipole_moment=1.0)
+    ref = build_nearfield(x_pts=x, y_pts=x, **kw)
+    mesh = make_mesh()
+    out = build_nearfield_sharded(mesh, x_pts=x, y_pts=x, **kw)
+    np.testing.assert_allclose(out[0], cpx.to_np(ref[0]), atol=1e-12)
+    np.testing.assert_allclose(out[3], cpx.to_np(ref[3]), atol=1e-12)
+    assert abs(out[6] - ref[6]) <= 1e-9 * max(abs(ref[6]), 1e-300)
