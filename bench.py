@@ -63,7 +63,7 @@ def main():
     def solve_one(xy, ux1, uy1):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
-            n_slabs=n_slabs, taylor_terms=10)
+            n_slabs=n_slabs, taylor_terms=12)
         c = jnp.zeros((2 * numG, 2), dtype=xy.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + numG, 1].set(1.0)
         return S.s11 @ c, S.s21 @ c

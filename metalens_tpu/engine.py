@@ -178,7 +178,7 @@ def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
 
 def fom_of_grating(g, target_wavelength=None, numG: int = 50,
                    terms: Sequence[FomTerm] | None = None,
-                   taylor_terms: int = 10, rdtype=None, xyrra=None,
+                   taylor_terms: int = 12, rdtype=None, xyrra=None,
                    fff: bool = False) -> float:
     """Figure of merit of one Grating (the ``run_lua`` replacement,
     reference stack ``grating.py:283-317`` + ``grating.lua:290-332``).
@@ -197,7 +197,7 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
 
 
 def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
-                       terms=None, taylor_terms: int = 10, rdtype=None,
+                       terms=None, taylor_terms: int = 12, rdtype=None,
                        fff: bool = False):
     """Return a function xyrra -> (fom, d fom / d xyrra), jitted & cached.
     Exact shape derivatives through the whole solve (with fff=True the
@@ -259,7 +259,7 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
 def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
                          wavelength, numG: int, just_normal: bool = False,
                          convert_to_xy: bool = True, include_tir: bool = False,
-                         taylor_terms: int = 10, rdtype=None,
+                         taylor_terms: int = 12, rdtype=None,
                          max_scan_order: int = 5, fff: bool = False):
     """Amplitude database sweep for one grating: returns the reference's
     list-of-dicts schema (``grating.py:408-478``), computed as one batched

@@ -51,7 +51,7 @@ def _fom_one_cell(orders, n_slabs, taylor_terms, target_idx, inphase,
 
 
 def sharded_fom_and_grad(mesh, orders, n_slabs, target_idx, inphase,
-                         taylor_terms=10, axis_name="cells"):
+                         taylor_terms=12, axis_name="cells"):
     """Build a jitted SPMD function:
 
         (xyrra[B, nE, 5], Lx[B], Ly[B], h, eps_p[T], eps_g[T], lam[T],
@@ -88,7 +88,7 @@ def sharded_fom_and_grad(mesh, orders, n_slabs, target_idx, inphase,
     return jax.jit(fom_and_grad)
 
 
-def sharded_characterize_amps(mesh, orders, n_slabs, taylor_terms=10,
+def sharded_characterize_amps(mesh, orders, n_slabs, taylor_terms=12,
                               axis_name="cells"):
     """Build a jitted SPMD characterize sweep: the (direction x cell) batch
     sharded over the mesh.

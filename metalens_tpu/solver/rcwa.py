@@ -220,14 +220,14 @@ def interface_smatrix(we_top, we_top_inv, we_bot, we_bot_inv) -> SMatrix:
 
 # ----- top-level cell solve -----
 
-def default_n_slabs(k0h_max: float, q2_max: float, target: float = 3.4) -> int:
+def default_n_slabs(k0h_max: float, q2_max: float, target: float = 4.5) -> int:
     """Static slab count: smallest power of two making t*q_max <= target.
 
-    target 3.4 keeps per-slab ||Y|| <~ 12: the 10-term Taylor series is
-    still converged to ~4e-10 (factorials dominate) and T entries stay
-    below e^3.4 ~ 30, well inside single-precision headroom -- while
-    halving the star-product count vs a conservative target
-    (slab-invariance is pinned at 1e-12 by tests)."""
+    target 4.5 pairs with the 12-term Taylor default: per-slab ||Y|| <~ 21
+    is still series-converged to machine precision (factorials dominate;
+    ns=8/t=12 matches ns=32/t=10 to 1e-14 in f64, pinned by tests) and T
+    entries stay below e^4.5 ~ 90, inside single-precision headroom --
+    minimizing star products, the dominant per-solve cost."""
     n = max(1.0, k0h_max * math.sqrt(q2_max) / target)
     return int(2 ** math.ceil(math.log2(n)))
 
@@ -278,7 +278,7 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
 
 def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
                  eps_pillar, eps_glass, wavelength, ux, uy,
-                 n_slabs: int, taylor_terms: int = 10,
+                 n_slabs: int, taylor_terms: int = 12,
                  branch_eps: float = 1e-9, eps_small_u: bool = False,
                  fff: bool = False):
     """Full air / pillar-layer / glass S-matrix for one unit cell at one
@@ -308,7 +308,7 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
 
 def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
                           cyl_height, eps_glass, wavelength, ux, uy,
-                          n_slabs: int, taylor_terms: int = 10,
+                          n_slabs: int, taylor_terms: int = 12,
                           branch_eps: float = 1e-9, M_blocks=None):
     """As :func:`cell_smatrix` but with the layer's Toeplitz eps matrix given
     directly (any pattern: ellipses, rectangles, uniform media)."""

@@ -108,3 +108,23 @@ def test_gradient_matches_finite_difference():
     eps = 0.03 * nm
     g_fd = float((objective(rx0 + eps) - objective(rx0 - eps)) / (2 * eps))
     assert abs(g_auto - g_fd) / max(abs(g_fd), 1e-30) < 1e-5
+
+
+def test_fast_slab_config_is_machine_exact():
+    """The production slab/Taylor defaults (target 4.5, 12 terms) must match
+    a very conservative configuration to machine precision -- pins the
+    accuracy claim behind the throughput tuning."""
+    numG = 33
+    orders = ordmod.select_orders(LX, LY, numG)
+
+    def s11(ns, terms):
+        S, Kx, Ky = rcwa.cell_smatrix(orders, jnp.asarray(XYRRA), LX, LY, H,
+                                      NT ** 2, NG ** 2, LAM, 0.45, 0.0,
+                                      n_slabs=ns, taylor_terms=terms)
+        return cpx.to_np(S.s11)
+
+    q2 = rcwa.q2_upper_bound(orders, LX, LY, LAM, NT ** 2)
+    ns_default = rcwa.default_n_slabs(2 * np.pi * H / LAM, q2)
+    fast = s11(ns_default, 12)
+    conservative = s11(4 * ns_default, 10)
+    assert np.abs(fast - conservative).max() < 1e-12
