@@ -61,18 +61,22 @@ def _orders_key(orders):
 
 def static_solve_config(g, wavelengths, numG):
     """Everything that must be concrete at trace time: the truncated order
-    set and the slab count for the thin-slab exponential."""
+    set, the slab count for the thin-slab exponential, and whether the
+    pillar material is lossless (Hermitian Toeplitz -> Cholesky inverse)."""
     orders = ordmod.select_orders(g.grating_period, g.lateral_period, numG)
     lam_min = min(wavelengths)
     eps_max = 0.0
+    hermitian = True
     for lam in wavelengths:
         ng, nt = resolve_indices(g.n_glass, g.n_tio2, lam)
         eps_max = max(eps_max, abs(nt) ** 2, abs(ng) ** 2)
+        if abs(complex(nt).imag) > 0:
+            hermitian = False
     q2 = rcwa.q2_upper_bound(orders, g.grating_period, g.lateral_period,
                              lam_min, eps_max)
     k0h = 2 * pi * g.cyl_height / lam_min
     n_slabs = rcwa.default_n_slabs(k0h, q2)
-    return orders, n_slabs
+    return orders, n_slabs, hermitian
 
 
 # --------------------------------------------------------------------------
@@ -82,7 +86,8 @@ def static_solve_config(g, wavelengths, numG):
 @functools.lru_cache(maxsize=256)
 def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
                  target_idx: tuple, inphase: tuple, with_grad: bool,
-                 small_u: bool = False, fff: bool = False):
+                 small_u: bool = False, fff: bool = False,
+                 hermitian_eps: bool = True):
     """Build (and cache) the jitted FOM program for a static configuration.
 
     Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p (C), eps_g (C),
@@ -119,7 +124,7 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
             S, Kx, Ky = rcwa.cell_smatrix_with_eps(
                 orders, E, Lx, Ly, h, eps_g[t], lam[t],
                 ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms,
-                M_blocks=M_blocks)
+                M_blocks=M_blocks, hermitian_eps=hermitian_eps)
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
             c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
@@ -140,8 +145,8 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
 
 def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
     terms = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
-    orders, n_slabs = static_solve_config(g, [t.wavelength for t in terms],
-                                          numG)
+    orders, n_slabs, hermitian = static_solve_config(
+        g, [t.wavelength for t in terms], numG)
     angle_in_air = (g.get_angle_in_air(target_wavelength)
                     if target_wavelength is not None else None)
     tgt_idx, inph, eps_p, eps_g, lam, ux, ngs, cth, w = ([] for _ in range(9))
@@ -173,7 +178,7 @@ def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
               jnp.asarray(lam, rdtype), jnp.asarray(ux, rdtype),
               jnp.asarray(ngs, rdtype), jnp.asarray(cth, rdtype),
               jnp.asarray(w, rdtype))
-    return orders, n_slabs, tuple(tgt_idx), tuple(inph), arrays
+    return orders, n_slabs, hermitian, tuple(tgt_idx), tuple(inph), arrays
 
 
 def fom_of_grating(g, target_wavelength=None, numG: int = 50,
@@ -186,10 +191,10 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
     accuracy class of S4's UseNormalVectorBasis) -- markedly faster numG
     convergence at ~25% extra cost per solve."""
     rdtype = rdtype or _default_rdtype()
-    orders, n_slabs, tgt, inph, arrays = _fom_inputs(
+    orders, n_slabs, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
-                      False, small_u_ok(g, orders), fff)
+                      False, small_u_ok(g, orders), fff, hermitian)
     xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list,
                      dtype=rdtype)
     val = fn(xy, g.grating_period, g.lateral_period, g.cyl_height, *arrays)
@@ -204,10 +209,10 @@ def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
     factorization-correction matrices are stop-gradiented; derivatives flow
     through the analytic Laurent part)."""
     rdtype = rdtype or _default_rdtype()
-    orders, n_slabs, tgt, inph, arrays = _fom_inputs(
+    orders, n_slabs, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
-                      True, small_u_ok(g, orders), fff)
+                      True, small_u_ok(g, orders), fff, hermitian)
 
     def vg(xyrra):
         return fn(jnp.asarray(xyrra, dtype=rdtype), g.grating_period,
@@ -230,7 +235,8 @@ def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
 
 @functools.lru_cache(maxsize=256)
 def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
-                          small_u: bool = False, fff: bool = False):
+                          small_u: bool = False, fff: bool = False,
+                          hermitian_eps: bool = True):
     """Jitted sweep kernel, vmapped over the incidence batch:
     (xyrra, Lx, Ly, h, eps_p (C), eps_g (C), lam, ux[B], uy[B])
     -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis 0='y', 1='x' incidence."""
@@ -242,7 +248,7 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
             n_slabs=n_slabs, taylor_terms=taylor_terms,
-            eps_small_u=small_u, fff=fff)
+            eps_small_u=small_u, fff=fff, hermitian_eps=hermitian_eps)
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         ampf = (S.s11 @ c).T                        # C (2, 2N)
@@ -277,9 +283,9 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     rdtype = rdtype or _default_rdtype()
     wavelengths = ([wavelength] if np.isscalar(wavelength)
                    else list(wavelength))
-    orders, n_slabs = static_solve_config(g, wavelengths, numG)
+    orders, n_slabs, hermitian = static_solve_config(g, wavelengths, numG)
     fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms,
-                               small_u_ok(g, orders), fff)
+                               small_u_ok(g, orders), fff, hermitian)
     N = orders.shape[0]
 
     if u_steps == 1:

@@ -255,12 +255,18 @@ EPS_REF = 1.5 + 1.0j
 
 def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
                   eps_ref=EPS_REF, branch_eps: float = 1e-9,
-                  M_blocks=None) -> SMatrix:
+                  M_blocks=None, hermitian_eps: bool = True) -> SMatrix:
     """S-matrix of the patterned layer of normalized thickness ``k0h``,
     expressed in the plane-wave basis of the ``eps_ref`` reference medium on
-    both faces (convert with :func:`interface_smatrix` to physical bases)."""
+    both faces (convert with :func:`interface_smatrix` to physical bases).
+
+    ``hermitian_eps=False`` must be passed for absorbing pillar materials
+    (complex eps): the Toeplitz matrix is then non-Hermitian and its inverse
+    uses LU instead of Cholesky."""
     N = E.shape[0]
-    Einv = cpx.cho_solve_hermitian(E, cpx.eye(N, E.re.dtype))
+    I = cpx.eye(N, E.re.dtype)
+    Einv = (cpx.cho_solve_hermitian(E, I) if hermitian_eps
+            else cpx.solve(E, I))
     F, G = build_FG(E, Einv, Kx, Ky, M_blocks)
     t = k0h / n_slabs
     T = thin_slab_T_blocks(F, G, t, taylor_terms)
@@ -280,7 +286,7 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
                  eps_pillar, eps_glass, wavelength, ux, uy,
                  n_slabs: int, taylor_terms: int = 12,
                  branch_eps: float = 1e-9, eps_small_u: bool = False,
-                 fff: bool = False):
+                 fff: bool = False, hermitian_eps: bool = True):
     """Full air / pillar-layer / glass S-matrix for one unit cell at one
     incidence direction and wavelength.  Ports: top = air plane-wave basis,
     bottom = glass plane-wave basis (exactly S4's GetAmplitudes bases).
@@ -303,13 +309,15 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
     return cell_smatrix_with_eps(orders, E, grating_period, lateral_period,
                                  cyl_height, eps_glass, wavelength, ux, uy,
                                  n_slabs=n_slabs, taylor_terms=taylor_terms,
-                                 branch_eps=branch_eps, M_blocks=M_blocks)
+                                 branch_eps=branch_eps, M_blocks=M_blocks,
+                                 hermitian_eps=hermitian_eps)
 
 
 def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
                           cyl_height, eps_glass, wavelength, ux, uy,
                           n_slabs: int, taylor_terms: int = 12,
-                          branch_eps: float = 1e-9, M_blocks=None):
+                          branch_eps: float = 1e-9, M_blocks=None,
+                          hermitian_eps: bool = True):
     """As :func:`cell_smatrix` but with the layer's Toeplitz eps matrix given
     directly (any pattern: ellipses, rectangles, uniform media)."""
     orders = np.asarray(orders)
@@ -321,7 +329,8 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
 
     k0h = TWO_PI * cyl_height / wavelength
     S_layer = layer_smatrix(E, Kx, Ky, k0h, n_slabs, taylor_terms,
-                            branch_eps=branch_eps, M_blocks=M_blocks)
+                            branch_eps=branch_eps, M_blocks=M_blocks,
+                            hermitian_eps=hermitian_eps)
 
     # zero-thickness conversion interfaces: air | ref basis at the top face,
     # ref basis | glass at the bottom face (the ref representation cancels
