@@ -255,6 +255,42 @@ class Grating:
         return show_config(self)
 
 
+def read_job_files(directory, index=None):
+    """Migration utility: load a reference-format job (``grating_setup.txt``
+    + ``grating_xyrra_list.txt``, as written by the reference's
+    ``Grating.write`` or by :meth:`Grating.write` here) back into a
+    :class:`Grating`.  Returns (grating, info) where info holds the mode
+    ('fom' or 'characterize') and the remaining setup fields."""
+    import os
+    sfx = str(index) if index is not None else ""
+    with open(os.path.join(directory, f"grating_setup{sfx}.txt")) as f:
+        rows = [line.strip() for line in f if line.strip()]
+    mode = {"1": "fom", "2": "characterize"}[rows[0]]
+    if mode == "fom":
+        gp, lp = float(rows[1]), float(rows[2])
+        info = {"mode": mode, "angle_in_air": float(rows[3]),
+                "numG": int(rows[7])}
+        n_glass, n_tio2, h = float(rows[4]), float(rows[5]), float(rows[6])
+    else:
+        gp, lp = float(rows[1]), float(rows[2])
+        n_glass, n_tio2, h = float(rows[3]), float(rows[4]), float(rows[5])
+        info = {"mode": mode, "numG": int(rows[6]),
+                "ux_min": float(rows[7]), "ux_max": float(rows[8]),
+                "uy_min": float(rows[9]), "uy_max": float(rows[10]),
+                "u_steps": int(rows[11]),
+                "wavelength": float(rows[12]) * 1e-6}
+    xyrra_um = np.loadtxt(os.path.join(directory,
+                                       f"grating_xyrra_list{sfx}.txt"))
+    xyrra_um = np.atleast_2d(xyrra_um)
+    xyrra_nm_deg = xyrra_um.copy()
+    xyrra_nm_deg[:, 0:4] *= 1000.0
+    g = Grating(lateral_period=lp, grating_period=gp, cyl_height=h,
+                n_glass=int(n_glass) if n_glass == int(n_glass) else n_glass,
+                n_tio2=int(n_tio2) if n_tio2 == int(n_tio2) else n_tio2,
+                xyrra_list_in_nm_deg=xyrra_nm_deg)
+    return g, info
+
+
 def validate(mygrating, print_details=False, similar_to=None, how_similar=None):
     """Fabricability / trust-region check (reference ``grating.py:522-599``),
     vectorized.  Returns True iff:

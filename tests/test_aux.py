@@ -104,3 +104,45 @@ def test_single_sweep_rgb_characterize():
             assert a[k] == b[k]
         for k in ("ampfy", "ampfx", "ampry", "amprx"):
             assert abs(a[k] - b[k]) < 1e-10
+
+
+
+def test_job_file_roundtrip():
+    """write() then read_job_files() reconstructs the grating (migration
+    path for reference-era job files)."""
+    import tempfile
+    from metalens_tpu.grating import read_job_files
+    g = simple_grating()
+    with tempfile.TemporaryDirectory() as d:
+        g.write(d, angle_in_air=0.5, numG=77)
+        g2, info = read_job_files(d)
+        assert info["mode"] == "fom" and info["numG"] == 77
+        assert abs(info["angle_in_air"] - 0.5) < 1e-12
+        np.testing.assert_allclose(g2.xyrra_list, g.xyrra_list, rtol=1e-9)
+        assert g2.n_glass == 0 and isinstance(g2.n_glass, int)
+        g.write(d, ux_min=0.1, ux_max=0.3, uy_min=-0.1, uy_max=0.1,
+                u_steps=3, wavelength=580 * nm)
+        g3, info = read_job_files(d)
+        assert info["mode"] == "characterize"
+        assert abs(info["wavelength"] - 580 * nm) < 1e-15
+
+
+def test_reference_readme_example_custom_indices():
+    """The reference README's getting-started example: a 785nm two-pillar
+    deflector. 785nm is off the operational tables (the reference requires
+    editing grating.lua); here explicit indices + a FomTerm express it
+    directly."""
+    from metalens_tpu.solver.fom import FomTerm
+    g = Grating(lateral_period=560 * nm, cyl_height=500 * nm,
+                target_wavelength=785 * nm, angle_in_air=65 * degree,
+                n_glass=1.45, n_tio2=2.3,
+                xyrra_list_in_nm_deg=np.array(
+                    [[0., 0., 200., 150., 0.],
+                     [400., 280., 150., 200., 10.]]))
+    terms = [FomTerm(785 * nm, 1.0, -1, True)]
+    f = g.fom(target_wavelength=785 * nm, numG=25, terms=terms)
+    assert np.isfinite(f)
+    data = g.characterize(ux_min=0.8, ux_max=0.95, uy_min=-0.05, uy_max=0.05,
+                          u_steps=2, wavelength=785 * nm, numG=25)
+    assert len(data) > 0
+    assert {round(e["wavelength_in_nm"]) for e in data} == {785}
