@@ -207,6 +207,21 @@ class Grating:
             return self.characterize(numG=numG, **kwargs)
         return self.fom(target_wavelength=target_wavelength, numG=numG, terms=terms)
 
+    def run_lua_initiate(self, target_wavelength=None, subfolder=None,
+                         numG=50, terms=None, **kwargs):
+        """Parity shim for the reference's async fan-out API
+        (``grating.py:300-306``): returns a deferred handle; evaluate with
+        :meth:`run_lua_getresult`.  In-process there is nothing to spawn --
+        real concurrency is a batch dimension -- but reference-era scripts
+        using the initiate/getresult pair keep working."""
+        return lambda: self.run_lua(target_wavelength=target_wavelength,
+                                    numG=numG, terms=terms, **kwargs)
+
+    @staticmethod
+    def run_lua_getresult(process):
+        """Evaluate a handle from :meth:`run_lua_initiate`."""
+        return process()
+
     def characterize(self, subfolder=None, process=None,
                      ux_min=None, ux_max=None, uy_min=-0.2, uy_max=0.2,
                      u_steps=3, wavelength=580 * nm, numG=100,

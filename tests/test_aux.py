@@ -146,3 +146,14 @@ def test_reference_readme_example_custom_indices():
                           u_steps=2, wavelength=785 * nm, numG=25)
     assert len(data) > 0
     assert {round(e["wavelength_in_nm"]) for e in data} == {785}
+
+
+
+def test_run_lua_initiate_getresult_shim():
+    from metalens_tpu.solver.fom import FomTerm
+    g = simple_grating()
+    terms = [FomTerm(580 * nm, 1.0, -1, False)]
+    handle = g.run_lua_initiate(target_wavelength=580 * nm, numG=20,
+                                terms=terms)
+    val = g.run_lua_getresult(handle)
+    assert val == g.fom(target_wavelength=580 * nm, numG=20, terms=terms)

@@ -85,3 +85,19 @@ def test_focused_phase_profile_spot():
     in_cone = UX ** 2 + UY ** 2 < (1.1 * na) ** 2
     frac = (Pz * in_cone).sum() / Pz.sum()
     assert frac > 0.95
+
+
+
+def test_dft_four_step_recursion(monkeypatch):
+    """Force the four-step Cooley-Tukey path (normally only above 4096) and
+    check it against the direct matmul DFT / numpy."""
+    from metalens_tpu.solver import cpx, dft
+    monkeypatch.setattr(dft, "DIRECT_LIMIT", 16)
+    dft._dft_factors.cache_clear()
+    rng = np.random.default_rng(0)
+    for n in (60, 64, 90):
+        x = rng.normal(size=(n, 7)) + 1j * rng.normal(size=(n, 7))
+        got = cpx.to_np(dft.dft_axis0(cpx.from_np(x)))
+        np.testing.assert_allclose(got, np.fft.fft(x, axis=0), rtol=1e-9,
+                                   atol=1e-9)
+    dft._dft_factors.cache_clear()
