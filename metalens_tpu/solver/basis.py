@@ -70,16 +70,6 @@ def we_inv_blocks(Kx, Ky, Kz: C, n):
     return D / det, -B / det, -Cb / det, A / det
 
 
-def block_mul_vec(blocks, v: C) -> C:
-    """Apply a diag-block 2x2 operator (A,B,C,D) to a 2N amplitude-layout
-    vector."""
-    A, B, Cb, D = blocks
-    N = A.shape[0]
-    top = A * v[:N] + B * v[N:]
-    bot = Cb * v[:N] + D * v[N:]
-    return cpx.concatenate([top, bot], axis=0)
-
-
 def block_compose(b1, b2):
     A1, B1, C1, D1 = b1
     A2, B2, C2, D2 = b2

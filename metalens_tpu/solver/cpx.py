@@ -205,11 +205,6 @@ def where(mask, a: C, b: C) -> C:
     return C(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
 
 
-def set_at(c: C, idx, value) -> C:
-    v = promote(value)
-    return C(c.re.at[idx].set(v.re), c.im.at[idx].set(v.im))
-
-
 # ----- linear solves via the real 2n-embedding -----
 
 def _embed(A: C):
