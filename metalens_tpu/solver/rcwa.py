@@ -116,6 +116,41 @@ def build_FG(E: C, Einv: C, Kx, Ky, M_blocks=None):
     return F, G
 
 
+def _shared_power_polys(Y: C, I: C, coeff_lists):
+    """Evaluate several matrix polynomials p(Y) = sum_i c_i Y^i sharing the
+    powers of one matrix Y, by Paterson-Stockmeyer chunking: with chunk size
+    s and r = ceil((d+1)/s) chunks, the cost is (s-1) + n_polys*(r-1)
+    matmuls (vs n_polys-independent Horner).  The chunk combinations are
+    scalar*matrix adds, which XLA fuses."""
+    d = max(len(c) for c in coeff_lists) - 1
+    n_poly = len(coeff_lists)
+    s_best, cost_best = 1, None
+    for s in range(1, d + 2):
+        r = -(-(d + 1) // s)
+        cost = (s - 1) + n_poly * (r - 1)
+        if cost_best is None or cost < cost_best:
+            s_best, cost_best = s, cost
+    s = s_best
+    pows = [I, Y]
+    for _ in range(2, s + 1):
+        pows.append(pows[-1] @ Y)
+    X = pows[s]
+    outs = []
+    for coeffs in coeff_lists:
+        chunks = []
+        for j in range(0, len(coeffs), s):
+            cs = coeffs[j:j + s]
+            Bj = pows[0] * cs[0]
+            for i in range(1, len(cs)):
+                Bj = Bj + pows[i] * cs[i]
+            chunks.append(Bj)
+        acc = chunks[-1]
+        for Bj in chunks[-2::-1]:
+            acc = acc @ X + Bj
+        outs.append(acc)
+    return outs
+
+
 def thin_slab_T_blocks(F: C, G: C, t, taylor_terms: int):
     """Blocks of expm(i t [[0,F],[G,0]]) via Taylor series in
     Y = (t^2)(F @ G):
@@ -124,21 +159,19 @@ def thin_slab_T_blocks(F: C, G: C, t, taylor_terms: int):
         T12 = i t [sum_k (-1)^k Y^k / (2k+1)!] F
         T21 = i t G [sum_k (-1)^k Y^k / (2k+1)!]
         T22 = I + t^2 G [sum_k (-1)^{k+1} Y^k / (2k+2)!] F
+
+    The three series share powers of Y and are evaluated jointly by
+    Paterson-Stockmeyer chunking (9 matmuls at the default 12 terms vs 12
+    for a term-by-term loop).
     """
     n2 = F.shape[0]
     I = cpx.eye(n2, F.re.dtype)
     Y = (F @ G) * (t * t)
-    P = I
-    Csum = I
-    Ssum = I
-    Rsum = I * (-1.0 / math.factorial(2))
-    sign = 1.0
-    for k in range(1, taylor_terms + 1):
-        P = P @ Y
-        sign = -sign
-        Csum = Csum + P * (sign / math.factorial(2 * k))
-        Ssum = Ssum + P * (sign / math.factorial(2 * k + 1))
-        Rsum = Rsum + P * (-sign / math.factorial(2 * k + 2))
+    ks = range(taylor_terms + 1)
+    cC = [(-1.0) ** k / math.factorial(2 * k) for k in ks]
+    cS = [(-1.0) ** k / math.factorial(2 * k + 1) for k in ks]
+    cR = [(-1.0) ** (k + 1) / math.factorial(2 * k + 2) for k in ks]
+    Csum, Ssum, Rsum = _shared_power_polys(Y, I, [cC, cS, cR])
     T11 = Csum
     T12 = (Ssum @ F) * 1j * t
     T21 = (G @ Ssum) * 1j * t
@@ -158,24 +191,63 @@ def _transfer_to_smatrix(M11: C, M12: C, M21: C, M22: C) -> SMatrix:
     return SMatrix(s11, s12, s21, s22)
 
 
-def slab_smatrix_in_basis(T, we, we_inv) -> SMatrix:
+def _transfer_to_smatrix_symmetric(M21: C, M22: C) -> SMatrix:
+    """Transfer -> scattering for a MIRROR-SYMMETRIC slab (z-uniform layer
+    with the same amplitude basis on both faces): there s11 = s22 = M22^-1
+    and s12 = s21 = -M22^-1 M21 exactly (equivalent to the general formulas;
+    pinned against them in tests), so M11/M12 and two of the four dense
+    products are never formed."""
+    n2 = M22.shape[0]
+    I = cpx.eye(n2, M22.re.dtype)
+    M22inv = cpx.solve(M22, I)
+    s21 = -(M22inv @ M21)
+    return SMatrix(M22inv, s21, s21, M22inv)
+
+
+def slab_smatrix_in_basis(T, we, we_inv, symmetric: bool = True) -> SMatrix:
     """Convert a field-space transfer matrix T (blocks T11..T22 acting on
     [e; h]) to an amplitude-space S-matrix in a uniform-medium basis given by
     diag-block operators ``we`` / ``we_inv`` (same medium both sides).
 
     Field/amplitude relation: e = We (c_f - c_b), h = c_f + c_b, so
     Phi = [[We, -We], [I, I]], Phi^-1 = (1/2) [[We^-1, I], [-We^-1, I]].
+
+    ``symmetric=True`` (always valid for a z-uniform slab, the only layer
+    type here) uses the mirror-symmetric shortcut that skips M11/M12.
     """
     T11, T12, T21, T22 = T
     P11 = _right_bmul(T11, we) + T12      # acts on c_f
     P12 = -_right_bmul(T11, we) + T12     # acts on c_b
     P21 = _right_bmul(T21, we) + T22
     P22 = -_right_bmul(T21, we) + T22
-    M11 = (_left_bmul(we_inv, P11) + P21) * 0.5
-    M12 = (_left_bmul(we_inv, P12) + P22) * 0.5
     M21 = (-_left_bmul(we_inv, P11) + P21) * 0.5
     M22 = (-_left_bmul(we_inv, P12) + P22) * 0.5
+    if symmetric:
+        return _transfer_to_smatrix_symmetric(M21, M22)
+    M11 = (_left_bmul(we_inv, P11) + P21) * 0.5
+    M12 = (_left_bmul(we_inv, P12) + P22) * 0.5
     return _transfer_to_smatrix(M11, M12, M21, M22)
+
+
+def redheffer_star_self_symmetric(S: SMatrix) -> SMatrix:
+    """Star of a MIRROR-SYMMETRIC S-matrix (s11 == s22, s12 == s21) with
+    itself -- the doubling step for identical z-uniform slabs.  Symmetry is
+    preserved, so only two of the four output blocks are computed: with
+    X0 = (I - s12^2)^-1 (which commutes with s12, being a function of s12^2),
+
+        s11' = s11 X0 s11,   s12' = s12 + s11 X0 s12 s11,
+
+    exactly the general star specialized to A = B = S (pinned against it in
+    tests).  Four matmuls + one solve vs seven + one."""
+    n2 = S.s11.shape[0]
+    I = cpx.eye(n2, S.s11.re.dtype)
+    X = cpx.solve(I - S.s12 @ S.s12,
+                  cpx.concatenate([S.s11, S.s12 @ S.s11], axis=1))
+    X11 = X[:, :n2]
+    X12 = X[:, n2:]
+    s11 = S.s11 @ X11
+    s12 = S.s12 + S.s11 @ X12
+    return SMatrix(s11, s12, s12, s11)
 
 
 def redheffer_star(A: SMatrix, B: SMatrix) -> SMatrix:
@@ -193,7 +265,18 @@ def redheffer_star(A: SMatrix, B: SMatrix) -> SMatrix:
     return SMatrix(s11, s12, s21, s22)
 
 
-def interface_smatrix(we_top, we_top_inv, we_bot, we_bot_inv) -> SMatrix:
+class BlockSMatrix(NamedTuple):
+    """S-matrix of a zero-thickness interface: every port map is a per-order
+    2x2, stored as a (A, B, C, D) diag-block 4-tuple of length-N C vectors
+    (densify with :func:`basis.block_to_dense`)."""
+    s11: tuple
+    s12: tuple
+    s21: tuple
+    s22: tuple
+
+
+def interface_smatrix_blocks(we_top, we_top_inv, we_bot, we_bot_inv) \
+        -> BlockSMatrix:
     """Analytic S-matrix of a flat interface between two uniform media, in
     their own plane-wave bases (per-order 2x2 algebra, no dense solves).
 
@@ -214,8 +297,50 @@ def interface_smatrix(we_top, we_top_inv, we_bot, we_bot_inv) -> SMatrix:
     s11_b = add(M11, basis.block_compose(M12, s21_b))
     s12_b = basis.block_compose(M12, M22inv)
     s22_b = M22inv
-    return SMatrix(*(basis.block_to_dense(b)
-                     for b in (s11_b, s12_b, s21_b, s22_b)))
+    return BlockSMatrix(s11_b, s12_b, s21_b, s22_b)
+
+
+def interface_smatrix(we_top, we_top_inv, we_bot, we_bot_inv) -> SMatrix:
+    """Dense form of :func:`interface_smatrix_blocks`."""
+    b = interface_smatrix_blocks(we_top, we_top_inv, we_bot, we_bot_inv)
+    return SMatrix(*(basis.block_to_dense(x) for x in b))
+
+
+def star_blockdiag_dense(A: BlockSMatrix, B: SMatrix) -> SMatrix:
+    """Star product with a diag-block TOP factor (a zero-thickness
+    interface): algebraically :func:`redheffer_star` with A densified, but
+    the block structure turns five dense matmuls into elementwise block
+    scalings and narrows the solve's right-hand side (the dominant star cost
+    is untouched dense algebra on B)."""
+    n2 = B.s11.shape[0]
+    I = cpx.eye(n2, B.s11.re.dtype)
+    A12B21 = _left_bmul(A.s12, B.s21)
+    X0 = cpx.solve(I - A12B21, I)
+    XA11 = _right_bmul(X0, A.s11)
+    XA12B22 = _right_bmul(X0, A.s12) @ B.s22
+    s11 = B.s11 @ XA11
+    s12 = B.s12 + B.s11 @ XA12B22
+    s21 = basis.block_to_dense(A.s21) + _left_bmul(A.s22, B.s21 @ XA11)
+    s22 = _left_bmul(A.s22, B.s21 @ XA12B22 + B.s22)
+    return SMatrix(s11, s12, s21, s22)
+
+
+def star_dense_blockdiag(A: SMatrix, B: BlockSMatrix) -> SMatrix:
+    """Star product with a diag-block BOTTOM factor (mirror of
+    :func:`star_blockdiag_dense`)."""
+    n2 = A.s11.shape[0]
+    I = cpx.eye(n2, A.s11.re.dtype)
+    A12B21 = _right_bmul(A.s12, B.s21)
+    X = cpx.solve(I - A12B21,
+                  cpx.concatenate([A.s11, _right_bmul(A.s12, B.s22)],
+                                  axis=1))
+    XA11 = X[:, :n2]
+    XA12B22 = X[:, n2:]
+    s11 = _left_bmul(B.s11, XA11)
+    s12 = basis.block_to_dense(B.s12) + _left_bmul(B.s11, XA12B22)
+    s21 = A.s21 + A.s22 @ _left_bmul(B.s21, XA11)
+    s22 = A.s22 @ (_left_bmul(B.s21, XA12B22) + basis.block_to_dense(B.s22))
+    return SMatrix(s11, s12, s21, s22)
 
 
 # ----- top-level cell solve -----
@@ -263,6 +388,9 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
     ``hermitian_eps=False`` must be passed for absorbing pillar materials
     (complex eps): the Toeplitz matrix is then non-Hermitian and its inverse
     uses LU instead of Cholesky."""
+    if n_slabs & (n_slabs - 1) or n_slabs < 1:
+        raise ValueError(f"n_slabs must be a power of two (doubling "
+                         f"assembly), got {n_slabs}")
     N = E.shape[0]
     I = cpx.eye(N, E.re.dtype)
     Einv = (cpx.cho_solve_hermitian(E, I) if hermitian_eps
@@ -278,7 +406,7 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
 
     S = slab_smatrix_in_basis(T, we, we_inv)
     for _ in range(int(math.log2(n_slabs))):
-        S = redheffer_star(S, S)
+        S = redheffer_star_self_symmetric(S)
     return S
 
 
@@ -347,10 +475,11 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
     wei_g = basis.we_inv_blocks(Kx, Ky, Kz_g, n_g)
     we_r = basis.we_blocks(Kx, Ky, Kz_r, n_r)
     wei_r = basis.we_inv_blocks(Kx, Ky, Kz_r, n_r)
-    S_air_ref = interface_smatrix(we_a, wei_a, we_r, wei_r)
-    S_ref_glass = interface_smatrix(we_r, wei_r, we_g, wei_g)
+    S_air_ref = interface_smatrix_blocks(we_a, wei_a, we_r, wei_r)
+    S_ref_glass = interface_smatrix_blocks(we_r, wei_r, we_g, wei_g)
 
-    S = redheffer_star(S_air_ref, redheffer_star(S_layer, S_ref_glass))
+    S = star_blockdiag_dense(S_air_ref,
+                             star_dense_blockdiag(S_layer, S_ref_glass))
     return S, Kx, Ky
 
 

@@ -1,0 +1,109 @@
+"""The structure-exploiting fast paths in solver/rcwa.py must be exactly
+the general algebra: diag-block interface stars, the mirror-symmetric slab
+doubling star, the symmetric transfer->scattering shortcut, and the shared-
+power (Paterson-Stockmeyer) series evaluation.  Each is pinned against the
+general/naive computation on random inputs."""
+
+import math
+
+import numpy as np
+
+from metalens_tpu.solver import basis, cpx, rcwa
+
+
+def _rnd_dense(rng, n2, scale=0.3):
+    return cpx.from_np(scale * (rng.normal(size=(n2, n2))
+                                + 1j * rng.normal(size=(n2, n2))))
+
+
+def _rnd_blocks(rng, N, scale=0.4):
+    return tuple(cpx.from_np(scale * (rng.normal(size=N)
+                                      + 1j * rng.normal(size=N)))
+                 for _ in range(4))
+
+
+def _maxdiff(a, b):
+    return float(np.abs(cpx.to_np(a) - cpx.to_np(b)).max())
+
+
+def test_star_blockdiag_dense_matches_dense_star():
+    rng = np.random.default_rng(0)
+    N, n2 = 6, 12
+    B = rcwa.SMatrix(*(_rnd_dense(rng, n2) for _ in range(4)))
+    Ab = rcwa.BlockSMatrix(*(_rnd_blocks(rng, N) for _ in range(4)))
+    Ad = rcwa.SMatrix(*(basis.block_to_dense(x) for x in Ab))
+    got = rcwa.star_blockdiag_dense(Ab, B)
+    ref = rcwa.redheffer_star(Ad, B)
+    for g, r in zip(got, ref):
+        assert _maxdiff(g, r) < 1e-13
+
+
+def test_star_dense_blockdiag_matches_dense_star():
+    rng = np.random.default_rng(1)
+    N, n2 = 6, 12
+    A = rcwa.SMatrix(*(_rnd_dense(rng, n2) for _ in range(4)))
+    Bb = rcwa.BlockSMatrix(*(_rnd_blocks(rng, N) for _ in range(4)))
+    Bd = rcwa.SMatrix(*(basis.block_to_dense(x) for x in Bb))
+    got = rcwa.star_dense_blockdiag(A, Bb)
+    ref = rcwa.redheffer_star(A, Bd)
+    for g, r in zip(got, ref):
+        assert _maxdiff(g, r) < 1e-13
+
+
+def test_symmetric_self_star_matches_general_star():
+    # any S with s11 == s22 and s12 == s21 (the input contract)
+    rng = np.random.default_rng(2)
+    n2 = 14
+    s11 = _rnd_dense(rng, n2)
+    s12 = _rnd_dense(rng, n2)
+    S = rcwa.SMatrix(s11, s12, s12, s11)
+    got = rcwa.redheffer_star_self_symmetric(S)
+    ref = rcwa.redheffer_star(S, S)
+    for g, r in zip(got, ref):
+        assert _maxdiff(g, r) < 1e-12
+    assert _maxdiff(got.s11, got.s22) == 0.0
+    assert _maxdiff(got.s12, got.s21) == 0.0
+
+
+def test_symmetric_slab_conversion_matches_general():
+    # ANY constant (F, G) defines a z-uniform segment, whose transfer matrix
+    # is mirror-symmetric in a same-both-sides amplitude basis
+    rng = np.random.default_rng(3)
+    N, n2 = 5, 10
+    F = _rnd_dense(rng, n2, 0.5)
+    G = _rnd_dense(rng, n2, 0.5)
+    T = rcwa.thin_slab_T_blocks(F, G, 0.7, 14)
+    Kx = rng.normal(size=N)
+    Ky = rng.normal(size=N)
+    Kz = basis.kz_norm(Kx, Ky, rcwa.EPS_REF)
+    n_ref = cpx.csqrt_posim(cpx.promote(rcwa.EPS_REF))
+    we = basis.we_blocks(Kx, Ky, Kz, n_ref)
+    wei = basis.we_inv_blocks(Kx, Ky, Kz, n_ref)
+    got = rcwa.slab_smatrix_in_basis(T, we, wei, symmetric=True)
+    ref = rcwa.slab_smatrix_in_basis(T, we, wei, symmetric=False)
+    for g, r in zip(got, ref):
+        assert _maxdiff(g, r) < 1e-12
+
+
+def test_shared_power_polys_match_naive_horner():
+    rng = np.random.default_rng(4)
+    n = 16
+    Y = cpx.from_np(0.2 * (rng.normal(size=(n, n))
+                           + 1j * rng.normal(size=(n, n))))
+    I = cpx.eye(n, Y.re.dtype)
+    Yn = cpx.to_np(Y)
+    for d in (0, 1, 2, 3, 7, 12, 13):
+        coeff_lists = [
+            [(-1.0) ** k / math.factorial(2 * k) for k in range(d + 1)],
+            [(-1.0) ** k / math.factorial(2 * k + 1) for k in range(d + 1)],
+            [(-1.0) ** (k + 1) / math.factorial(2 * k + 2)
+             for k in range(d + 1)],
+        ]
+        outs = rcwa._shared_power_polys(Y, I, coeff_lists)
+        for coeffs, got in zip(coeff_lists, outs):
+            ref = np.zeros_like(Yn)
+            P = np.eye(n, dtype=complex)
+            for c in coeffs:
+                ref += c * P
+                P = P @ Yn
+            assert np.abs(cpx.to_np(got) - ref).max() < 1e-14
