@@ -49,8 +49,8 @@ def main():
 
     orders = ordmod.select_orders(LX, LY, numG)
     i0 = ordmod.order_index(orders, 0, 0)
-    q2 = rcwa.q2_upper_bound(orders, LX, LY, LAM, NT ** 2)
-    n_slabs = rcwa.default_n_slabs(2 * np.pi * H / LAM, q2)
+    n_slabs, taylor = rcwa.slab_schedule(2 * np.pi * H / LAM, orders,
+                                         LX, LY, LAM, NT ** 2)
 
     rng = np.random.default_rng(0)
     base = np.array([[-215 * nm, 2 * nm, 144 * nm, 111 * nm, 0.0],
@@ -63,7 +63,7 @@ def main():
     def solve_one(xy, ux1, uy1):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
-            n_slabs=n_slabs, taylor_terms=12)
+            n_slabs=n_slabs, taylor_terms=taylor)
         c = jnp.zeros((2 * numG, 2), dtype=xy.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + numG, 1].set(1.0)
         return S.s11 @ c, S.s21 @ c

@@ -72,11 +72,10 @@ def static_solve_config(g, wavelengths, numG):
         eps_max = max(eps_max, abs(nt) ** 2, abs(ng) ** 2)
         if abs(complex(nt).imag) > 0:
             hermitian = False
-    q2 = rcwa.q2_upper_bound(orders, g.grating_period, g.lateral_period,
-                             lam_min, eps_max)
     k0h = 2 * pi * g.cyl_height / lam_min
-    n_slabs = rcwa.default_n_slabs(k0h, q2)
-    return orders, n_slabs, hermitian
+    n_slabs, taylor = rcwa.slab_schedule(k0h, orders, g.grating_period,
+                                         g.lateral_period, lam_min, eps_max)
+    return orders, n_slabs, taylor, hermitian
 
 
 # --------------------------------------------------------------------------
@@ -145,7 +144,7 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
 
 def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
     terms = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
-    orders, n_slabs, hermitian = static_solve_config(
+    orders, n_slabs, taylor, hermitian = static_solve_config(
         g, [t.wavelength for t in terms], numG)
     angle_in_air = (g.get_angle_in_air(target_wavelength)
                     if target_wavelength is not None else None)
@@ -178,12 +177,13 @@ def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
               jnp.asarray(lam, rdtype), jnp.asarray(ux, rdtype),
               jnp.asarray(ngs, rdtype), jnp.asarray(cth, rdtype),
               jnp.asarray(w, rdtype))
-    return orders, n_slabs, hermitian, tuple(tgt_idx), tuple(inph), arrays
+    return (orders, n_slabs, taylor, hermitian, tuple(tgt_idx), tuple(inph),
+            arrays)
 
 
 def fom_of_grating(g, target_wavelength=None, numG: int = 50,
                    terms: Sequence[FomTerm] | None = None,
-                   taylor_terms: int = 12, rdtype=None, xyrra=None,
+                   taylor_terms: int | None = None, rdtype=None, xyrra=None,
                    fff: bool = False) -> float:
     """Figure of merit of one Grating (the ``run_lua`` replacement,
     reference stack ``grating.py:283-317`` + ``grating.lua:290-332``).
@@ -191,9 +191,10 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
     accuracy class of S4's UseNormalVectorBasis) -- markedly faster numG
     convergence at ~25% extra cost per solve."""
     rdtype = rdtype or _default_rdtype()
-    orders, n_slabs, hermitian, tgt, inph, arrays = _fom_inputs(
+    orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
-    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
+    fn = _fom_program(_orders_key(orders), n_slabs,
+                      taylor_terms or taylor, tgt, inph,
                       False, small_u_ok(g, orders), fff, hermitian)
     xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list,
                      dtype=rdtype)
@@ -202,16 +203,17 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
 
 
 def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
-                       terms=None, taylor_terms: int = 12, rdtype=None,
-                       fff: bool = False):
+                       terms=None, taylor_terms: int | None = None,
+                       rdtype=None, fff: bool = False):
     """Return a function xyrra -> (fom, d fom / d xyrra), jitted & cached.
     Exact shape derivatives through the whole solve (with fff=True the
     factorization-correction matrices are stop-gradiented; derivatives flow
     through the analytic Laurent part)."""
     rdtype = rdtype or _default_rdtype()
-    orders, n_slabs, hermitian, tgt, inph, arrays = _fom_inputs(
+    orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
-    fn = _fom_program(_orders_key(orders), n_slabs, taylor_terms, tgt, inph,
+    fn = _fom_program(_orders_key(orders), n_slabs,
+                      taylor_terms or taylor, tgt, inph,
                       True, small_u_ok(g, orders), fff, hermitian)
 
     def vg(xyrra):
@@ -265,7 +267,7 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
 def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
                          wavelength, numG: int, just_normal: bool = False,
                          convert_to_xy: bool = True, include_tir: bool = False,
-                         taylor_terms: int = 12, rdtype=None,
+                         taylor_terms: int | None = None, rdtype=None,
                          max_scan_order: int = 5, fff: bool = False):
     """Amplitude database sweep for one grating: returns the reference's
     list-of-dicts schema (``grating.py:408-478``), computed as one batched
@@ -283,8 +285,10 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     rdtype = rdtype or _default_rdtype()
     wavelengths = ([wavelength] if np.isscalar(wavelength)
                    else list(wavelength))
-    orders, n_slabs, hermitian = static_solve_config(g, wavelengths, numG)
-    fn = _characterize_program(_orders_key(orders), n_slabs, taylor_terms,
+    orders, n_slabs, taylor, hermitian = static_solve_config(
+        g, wavelengths, numG)
+    fn = _characterize_program(_orders_key(orders), n_slabs,
+                               taylor_terms or taylor,
                                small_u_ok(g, orders), fff, hermitian)
     N = orders.shape[0]
 

@@ -107,3 +107,24 @@ def test_shared_power_polys_match_naive_horner():
                 ref += c * P
                 P = P @ Yn
             assert np.abs(cpx.to_np(got) - ref).max() < 1e-14
+
+
+def test_slab_schedule_is_converged():
+    """The (n_slabs, taylor_terms) pairing from slab_schedule must give a
+    series-converged slab: raising taylor_terms far beyond the scheduled
+    count must not change the FOM at f64."""
+    from metalens_tpu import Grating, engine
+    from metalens_tpu.solver.fom import FomTerm
+    from metalens_tpu.units import nm, degree
+
+    g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                target_wavelength=580 * nm, angle_in_air=30 * degree,
+                xyrra_list_in_nm_deg=np.array([[0., 0., 120., 90., 0.]]))
+    terms = [FomTerm(580 * nm, 1.0, -1, True)]
+    orders, n_slabs, taylor, _ = engine.static_solve_config(
+        g, [580 * nm], 25)
+    assert n_slabs & (n_slabs - 1) == 0
+    f_sched = engine.fom_of_grating(g, 580 * nm, numG=25, terms=terms)
+    f_over = engine.fom_of_grating(g, 580 * nm, numG=25, terms=terms,
+                                   taylor_terms=taylor + 14)
+    assert abs(f_sched - f_over) < 1e-11
