@@ -8,7 +8,7 @@ from metalens_tpu import Grating, GratingCollection
 from metalens_tpu.characterize import (AmpInterpolator,
                                        build_collection_interpolators)
 from metalens_tpu.hexgrid import HexGridSet
-from metalens_tpu.units import nm
+from metalens_tpu.units import nm, degree
 
 
 def test_amp_interpolator_matches_manual_trilinear():
@@ -101,3 +101,26 @@ def test_hexgridset_phase_library():
     f = hgs.interpolators[(580, (0, 0), "x", "ampfx")]
     got = complex(np.asarray(f(np.array([[0.001, 0.001, 2.0]])))[0])
     assert abs(got - hgs.x_amp_list[2]) < 1e-10
+
+
+def test_multiwavelength_single_sweep_and_append():
+    """An RGB database is ONE device sweep (wavelength list batches jointly
+    with directions in the characterize program); append=True replaces
+    same-wavelength entries instead of duplicating."""
+    gs = [Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                  target_wavelength=580 * nm, angle_in_air=a * degree,
+                  xyrra_list_in_nm_deg=np.array([[0., 0., 110., 90., 0.]]))
+          for a in (18, 20)]
+    gc = GratingCollection(target_wavelength=580 * nm,
+                           lateral_period=320 * nm,
+                           lens_type="cyl", grating_list=gs)
+    gc.characterize(wavelength=[450 * nm, 580 * nm], numG=16, u_steps=2)
+    wls = sorted({e["wavelength_in_nm"] for g in gc.grating_list
+                  for e in g.data})
+    assert wls == [450.0, 580.0]
+    gc.characterize(wavelength=650 * nm, numG=16, u_steps=2, append=True)
+    gc.build_interpolators()
+    assert sorted({k[0] for k in gc.interpolators}) == [450, 580, 650]
+    n_before = len(gs[0].data)
+    gc.characterize(wavelength=580 * nm, numG=16, u_steps=2, append=True)
+    assert len(gs[0].data) == n_before      # replaced, not duplicated
