@@ -6,7 +6,12 @@ make_design -> near-field -> far-field -> DXF/SVG export).  ~25 min on CPU
 (--cpu); a typical result: 75-member collection, 3 periphery rings + hex
 center (~1700 pillars), 84% transmission with a collimated on-axis beam.
 
-    python examples/collimator_demo.py [--cpu] [--outdir DIR]
+    python examples/collimator_demo.py [--cpu] [--outdir DIR] [--rgb]
+
+``--rgb`` additionally characterizes every cell at 450/650 nm (one joint
+(lambda x direction) sweep per member) and reports the 580-designed lens's
+chromatic behavior: per-wavelength transmission, far-field peak, and
+0.1-cone power fraction.
 """
 
 import argparse
@@ -25,6 +30,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--outdir", default="demo_out")
     ap.add_argument("--numG", type=int, default=25)
+    ap.add_argument("--rgb", action="store_true",
+                    help="also characterize at 450/650 nm (one joint sweep "
+                         "per member) and evaluate the lens chromatically")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -97,39 +105,58 @@ def main():
     make_dxf(xyrra, os.path.join(args.outdir, "collimator.dxf"))
     make_svg(xyrra, os.path.join(args.outdir, "collimator.svg"))
 
-    # --- 5. near-field + far-field ---
+    # --- 4b. RGB databases for chromatic evaluation (--rgb): one joint
+    # (lambda x direction) sweep per member fills 450 + 650 on top of 580;
+    # the design itself stays the 580-optimized geometry ---
+    eval_lams = [LAM]
+    if args.rgb:
+        t0 = time.time()
+        gc.characterize([450 * nm, 650 * nm], numG=args.numG, u_steps=3,
+                        append=True)
+        gc.build_interpolators()
+        hgs.characterize(wavelength=[450 * nm, 650 * nm], numG=args.numG,
+                         just_normal=False, u_steps=3, append=True)
+        hgs.build_interpolators()
+        eval_lams = [450 * nm, LAM, 650 * nm]
+        print(f"RGB databases ({time.time()-t0:.0f}s)")
+
+    # --- 5. near-field + far-field (per evaluation wavelength) ---
     t0 = time.time()
     half = radius * 1.05
-    n_pts = good_fft_number(2 * half / (LAM / 2.2))
-    x_pts = np.linspace(-half, half, n_pts)
-    Ex, Ey, Hx, Hy, xs, ys, P_lens, ng = build_nearfield(
-        0.0, 0.0, -d, "x", LAM, lps, lcs, hgs, x_pts, x_pts,
-        dipole_moment=1e-30)
-    P, total_P, ux, uy, dux, duy = farfield(Ex, Ey, Hx, Hy, xs, ys, LAM, ng)
-    m = focal_metrics(P, ux, uy, dux, duy, total_P, P_lens,
-                      spot_radius_u=0.1)
+    for lam in eval_lams:
+        n_pts = good_fft_number(2 * half / (lam / 2.2))
+        x_pts = np.linspace(-half, half, n_pts)
+        Ex, Ey, Hx, Hy, xs, ys, P_lens, ng = build_nearfield(
+            0.0, 0.0, -d, "x", lam, lps, lcs, hgs, x_pts, x_pts,
+            dipole_moment=1e-30)
+        P, total_P, ux, uy, dux, duy = farfield(Ex, Ey, Hx, Hy, xs, ys,
+                                                lam, ng)
+        m = focal_metrics(P, ux, uy, dux, duy, total_P, P_lens,
+                          spot_radius_u=0.1)
+        tag = f"{round(lam/nm)}nm"
+        print(f"[{tag}] transmission: {m['transmission']:.3f}  "
+              f"peak (ux, uy) = ({m['peak_ux']:.3f}, {m['peak_uy']:.3f})  "
+              f"0.1-cone fraction: {m['spot_fraction_of_total']:.3f}")
+        try:
+            from metalens_tpu.viz import _plt
+            plt = _plt()
+            Pz = np.asarray(P)
+            Pz = np.where(np.isfinite(Pz), Pz, 0.0)
+            plt.figure(figsize=(5, 4))
+            plt.imshow(np.log10(Pz.T + Pz.max() * 1e-8),
+                       extent=(ux.min(), ux.max(), uy.min(), uy.max()),
+                       origin="lower")
+            plt.xlabel("ux"); plt.ylabel("uy")
+            plt.title(f"far-field power (log10), {tag}")
+            plt.colorbar()
+            plt.savefig(os.path.join(args.outdir, f"farfield_{tag}.png"),
+                        dpi=120)
+            plt.close()
+        except Exception as e:
+            print("plot skipped:", e)
     print(f"near+far field ({time.time()-t0:.0f}s)")
-    print(f"transmission: {m['transmission']:.3f}")
-    print(f"far-field peak at (ux, uy) = ({m['peak_ux']:.3f}, {m['peak_uy']:.3f})")
-    print(f"power within 0.1 cone of peak: {m['spot_fraction_of_total']:.3f} of total")
-
-    # plot
-    try:
-        from metalens_tpu.viz import _plt
-        plt = _plt()
-        Pz = np.asarray(P)
-        Pz = np.where(np.isfinite(Pz), Pz, 0.0)
-        plt.figure(figsize=(5, 4))
-        plt.imshow(np.log10(Pz.T + Pz.max() * 1e-8),
-                   extent=(ux.min(), ux.max(), uy.min(), uy.max()),
-                   origin="lower")
-        plt.xlabel("ux"); plt.ylabel("uy")
-        plt.title("far-field power (log10)")
-        plt.colorbar()
-        plt.savefig(os.path.join(args.outdir, "farfield.png"), dpi=120)
-        print(f"wrote {args.outdir}/farfield.png, collimator.dxf, collimator.svg")
-    except Exception as e:
-        print("plot skipped:", e)
+    print(f"wrote {args.outdir}/farfield_*.png, collimator.dxf, "
+          f"collimator.svg")
 
 
 if __name__ == "__main__":

@@ -74,7 +74,7 @@ class HexGridSet:
                 + ")")
 
     def characterize(self, wavelength=580 * nm, numG=100, just_normal=True,
-                     shortcut=False, u_steps=3):
+                     shortcut=False, u_steps=3, append=False):
         """Fill every member's amplitude database (one batched device sweep
         per member; reference ``lens_center.py:80-156`` spawns N processes)
         and compile ``x_amp_list``: the (0,0)-order forward 'x' amplitude at
@@ -82,7 +82,11 @@ class HexGridSet:
 
         ``shortcut`` (fill a u>=0 quadrant and mirror) is not implemented --
         the reference's version dead-ends at ``assert False``
-        (``lens_center.py:109``); the full grid is cheap on device."""
+        (``lens_center.py:109``); the full grid is cheap on device.
+
+        ``append=True`` accumulates an RGB (multi-wavelength) database like
+        :meth:`GratingCollection.characterize`; the phase library
+        ``x_amp_list`` is taken at the first wavelength of THIS call."""
         assert shortcut is False, "symmetry shortcut unnecessary on device"
         if just_normal is True:
             u_args = dict(ux_min=0.001, ux_max=0.001, uy_min=0.001,
@@ -92,14 +96,17 @@ class HexGridSet:
                           uy_max=0.501, u_steps=2 * u_steps - 1)
         for g in self.grating_list:
             g.characterize(wavelength=wavelength, numG=numG,
-                           just_normal=just_normal, **u_args)
+                           just_normal=just_normal, append=append, **u_args)
 
+        lam0 = wavelength if np.isscalar(wavelength) else wavelength[0]
+        wl_nm = round(lam0 / nm)
         x_amp_list = []
         for g in self.grating_list:
             # the (0.001, 0.001) near-normal sample (tolerant match: the
             # u-grid midpoint carries float round-off in the non-normal case)
             a = [e for e in g.data if e["x_or_y"] == "x"
                  and e["ox"] == e["oy"] == 0
+                 and round(e["wavelength_in_nm"]) == wl_nm
                  and abs(e["ux"] - 0.001) < 1e-9
                  and abs(e["uy"] - 0.001) < 1e-9]
             assert len(a) == 1

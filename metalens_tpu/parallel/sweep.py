@@ -61,6 +61,11 @@ def sharded_fom_and_grad(mesh, orders, n_slabs, target_idx, inphase,
     B must be divisible by the mesh axis size.  Each device solves its shard
     of cells; pmean combines the loss (so the gradient of the *mean* FOM
     arrives already psum'd by SPMD autodiff).
+
+    ``n_slabs`` and ``taylor_terms`` must be a converged pairing -- take
+    both from :func:`metalens_tpu.solver.rcwa.slab_schedule` (the default
+    12 terms matches the classic target-4.5 ``default_n_slabs`` count, NOT
+    the schedule's target-9 count).
     """
     orders = np.asarray(orders)
 

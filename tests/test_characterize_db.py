@@ -124,3 +124,21 @@ def test_multiwavelength_single_sweep_and_append():
     n_before = len(gs[0].data)
     gc.characterize(wavelength=580 * nm, numG=16, u_steps=2, append=True)
     assert len(gs[0].data) == n_before      # replaced, not duplicated
+
+
+def test_hexgrid_multiwavelength_append():
+    """HexGridSet.characterize(append=True) accumulates an RGB database;
+    the phase library x_amp_list tracks the first wavelength of each call."""
+    hgs = HexGridSet(sep=320 * nm, cyl_height=550 * nm, num_entries=4)
+    hgs.characterize(wavelength=580 * nm, numG=12, just_normal=True)
+    xa580 = hgs.x_amp_list.copy()
+    hgs.characterize(wavelength=[450 * nm, 650 * nm], numG=12,
+                     just_normal=True, append=True)
+    wls = sorted({e["wavelength_in_nm"] for g in hgs.grating_list
+                  for e in g.data})
+    assert wls == [450.0, 580.0, 650.0]
+    hgs.characterize(wavelength=580 * nm, numG=12, just_normal=True,
+                     append=True)
+    np.testing.assert_allclose(hgs.x_amp_list, xa580, rtol=1e-12)
+    hgs.build_interpolators()
+    assert sorted({k[0] for k in hgs.interpolators}) == [450, 580, 650]
