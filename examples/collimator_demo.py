@@ -11,7 +11,9 @@ center (~1700 pillars), 84% transmission with a collimated on-axis beam.
 ``--rgb`` additionally characterizes every cell at 450/650 nm (one joint
 (lambda x direction) sweep per member) and reports the 580-designed lens's
 chromatic behavior: per-wavelength transmission, far-field peak, and
-0.1-cone power fraction.
+0.1-cone power fraction.  Typical: 0.725 / 0.843 / 0.884 transmission at
+450 / 580 / 650 nm, collimated on-axis at all three, best cone fraction
+at the design wavelength.
 """
 
 import argparse
