@@ -71,8 +71,3 @@ def term_score(amp_s_y, amp_p_x, n_glass_now, cos_theta, inphase: bool):
     denom = n_glass_now * cos_theta
     return (score_s / denom + score_p / denom) / 2.0
 
-
-def combine_terms(scores, weights):
-    scores = jnp.stack(scores)
-    weights = jnp.asarray(weights, dtype=scores.dtype)
-    return (scores * weights).sum() / weights.sum()

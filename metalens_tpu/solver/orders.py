@@ -44,10 +44,3 @@ def order_index(orders, ox: int, oy: int) -> int:
         raise ValueError(f"order ({ox},{oy}) not in truncated order set")
     return int(hits[0])
 
-
-def scan_orders(max_order: int = 5):
-    """The (2*max_order+1)^2 candidate output orders scanned by characterize
-    (reference ``grating.lua:417-423``), as an (n, 2) int array."""
-    o = np.arange(-max_order, max_order + 1)
-    ox, oy = np.meshgrid(o, o, indexing="ij")
-    return np.stack([ox.ravel(), oy.ravel()], axis=1).astype(np.int32)
