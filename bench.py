@@ -21,7 +21,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--numG", type=int, default=50)
     ap.add_argument("--iters", type=int, default=4,
                     help="timed solves per window")

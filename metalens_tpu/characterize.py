@@ -90,15 +90,14 @@ class AmpInterpolator:
         return out
 
 
-def interp_multi(values_stack, grids, pts):
-    """Multilinear interpolation of C channels sharing one coordinate
-    system: ``values_stack`` is (n_channels, *grid_shape, 2) real,
-    ``pts`` (M, ndim).  Returns a C of shape (n_channels, M).  The index
-    and weight computation is shared across channels (4x cheaper than
-    calling per-channel interpolators) and the whole function is jnp
-    (jit-friendly; used by the near-field stitcher's fused kernel)."""
+def interp_weights(grids, pts):
+    """Per-axis (cell indices, fractional weights) of multilinear
+    interpolation: ``pts`` (M, ndim) -> two length-ndim lists of (M,)
+    arrays.  Hoisting this out lets many value tables (channels AND
+    diffraction orders) share one weight computation -- the near-field
+    stitcher evaluates it once per collection and gathers per order inside
+    a ``lax.scan``.  Degenerate (length-1) axes get index 0 / weight 0."""
     pts = jnp.asarray(pts)
-    ndim = len(grids)
     idxs, ws = [], []
     for ax, g in enumerate(grids):
         x = pts[:, ax]
@@ -111,10 +110,19 @@ def interp_multi(values_stack, grids, pts):
         w = (x - g[i]) / (g[i + 1] - g[i])
         ws.append(jnp.clip(w, 0.0, 1.0))
         idxs.append(i)
-    out = jnp.zeros((values_stack.shape[0], pts.shape[0], 2),
+    return idxs, ws
+
+
+def interp_gather(values_stack, grids, idxs, ws):
+    """Corner-gather half of the multilinear interpolation:
+    ``values_stack`` (n_channels, *grid_shape, 2) real, weights from
+    :func:`interp_weights`.  Returns a C of shape (n_channels, M)."""
+    ndim = len(grids)
+    M = idxs[0].shape[0]
+    out = jnp.zeros((values_stack.shape[0], M, 2),
                     dtype=values_stack.dtype)
     for corner in range(2 ** ndim):
-        weight = jnp.ones(pts.shape[0])
+        weight = jnp.ones(M)
         coords = []
         for ax in range(ndim):
             hi = (corner >> ax) & 1
@@ -128,6 +136,17 @@ def interp_multi(values_stack, grids, pts):
         vals = values_stack[(slice(None),) + tuple(coords)]  # (C, M, 2)
         out = out + weight[None, :, None] * vals
     return cpx.C(out[..., 0], out[..., 1])
+
+
+def interp_multi(values_stack, grids, pts):
+    """Multilinear interpolation of C channels sharing one coordinate
+    system: ``values_stack`` is (n_channels, *grid_shape, 2) real,
+    ``pts`` (M, ndim).  Returns a C of shape (n_channels, M).  The index
+    and weight computation is shared across channels (4x cheaper than
+    calling per-channel interpolators) and the whole function is jnp
+    (jit-friendly)."""
+    idxs, ws = interp_weights(grids, pts)
+    return interp_gather(values_stack, grids, idxs, ws)
 
 
 def _gather_axes(grating_list):

@@ -36,37 +36,84 @@ from .solver.cpx import C
 from .units import nm, pi, inf
 
 import jax
-from .characterize import interp_multi
+from .characterize import interp_weights, interp_gather
 
 
 @jax.jit
-def _combo_accumulate(values4, g0, g1, g2, pts, phase, kx, ky, kz, kg, ng,
-                      Hxw, Hyw, Exp, Eyp, Hxp, Hyp):
-    """Fused per-(element, diffraction-order) accumulation: interpolate the
-    four amplitude channels [(x,fy),(x,fx),(y,fy),(y,fx)] with shared
-    weights and add their E/H contributions (reference field formulas,
-    nearfield.py:313-327).  One device dispatch per combo instead of ~30."""
-    amps = interp_multi(values4, (g0, g1, g2), pts)   # C of (4, M)
-    shape = phase.shape
-    a_xfy = amps[0].reshape(shape)
-    a_xfx = amps[1].reshape(shape)
-    a_yfy = amps[2].reshape(shape)
-    a_yfx = amps[3].reshape(shape)
-    inv = 1.0 / (kg * kz * ng)
-    c_fy_x = kx * ky * inv
-    c_fy_y = -(kx * kx + kz * kz) * inv
-    c_fx_x = (ky * ky + kz * kz) * inv
-    c_fx_y = -(kx * ky) * inv
+def _region_stats(mask, a0, a1, a2):
+    """Masked point count + per-array min/max, fused into one device
+    program and one (7,) host fetch (the eager version cost seven separate
+    device syncs per collection)."""
+    stack = jnp.stack([a0, a1, a2])
+    m = mask[None]
+    mn = jnp.min(jnp.where(m, stack, jnp.inf), axis=(1, 2))
+    mx = jnp.max(jnp.where(m, stack, -jnp.inf), axis=(1, 2))
+    cnt = mask.sum().astype(mn.dtype)
+    return jnp.concatenate([cnt[None], mn, mx])
+
+
+@jax.jit
+def _accumulate_orders(values_all, orders_arr, g0, g1, g2, pts, region_mask,
+                       u1, u2, invp1, invp2, xrel, yrel, kvac, kg, ng,
+                       Hxw, Hyw, Exp, Eyp, Hxp, Hyp):
+    """ALL diffraction orders of one collection in one device program.
+
+    The multilinear interpolation weights depend only on the query points,
+    so they are computed once and shared by every (order, pol, channel)
+    table; a ``lax.scan`` over the stacked order tables then does, per
+    order: corner-gather the four amplitude channels [(x,fy),(x,fx),
+    (y,fy),(y,fx)], build the propagating-order mask and phase, and add the
+    E/H contributions (reference field formulas, nearfield.py:313-327).
+    One dispatch + zero host syncs, vs ~10 eager ops and an interp dispatch
+    per order before.  Returns the accumulators plus per-order applicable
+    point counts (for progress reporting)."""
+    grids = (g0, g1, g2)
+    idxs, ws = interp_weights(grids, pts)
+    shape = u1.shape
     Z0 = nu.Z0
-    for a_fy, a_fx, Hw in ((a_xfy, a_xfx, Hxw), (a_yfy, a_yfx, Hyw)):
-        Ew = Hw * Z0
-        pf_fy = a_fy * phase
-        pf_fx = a_fx * phase
-        Exp = Exp + pf_fy * (Ew * c_fy_x) + pf_fx * (Ew * c_fx_x)
-        Eyp = Eyp + pf_fy * (Ew * c_fy_y) + pf_fx * (Ew * c_fx_y)
-        Hxp = Hxp + pf_fy * Hw
-        Hyp = Hyp + pf_fx * Hw
-    return Exp, Eyp, Hxp, Hyp
+
+    def body(carry, ordvals):
+        Exp, Eyp, Hxp, Hyp = carry
+        o, values4 = ordvals
+        kx = kvac * u1 + o[0] * invp1
+        ky = kvac * u2 + o[1] * invp2
+        mask = (kx ** 2 + ky ** 2 <= kvac ** 2) & region_mask
+        kz = jnp.sqrt(jnp.maximum(kg ** 2 - kx ** 2 - ky ** 2,
+                                  1e-12 * kvac ** 2))
+        phase = cpx.expi(kx * xrel + ky * yrel) * mask
+        amps = interp_gather(values4, grids, idxs, ws)   # C of (4, M)
+        a_xfy = amps[0].reshape(shape)
+        a_xfx = amps[1].reshape(shape)
+        a_yfy = amps[2].reshape(shape)
+        a_yfx = amps[3].reshape(shape)
+        inv = 1.0 / (kg * kz * ng)
+        c_fy_x = kx * ky * inv
+        c_fy_y = -(kx * kx + kz * kz) * inv
+        c_fx_x = (ky * ky + kz * kz) * inv
+        c_fx_y = -(kx * ky) * inv
+        for a_fy, a_fx, Hw in ((a_xfy, a_xfx, Hxw), (a_yfy, a_yfx, Hyw)):
+            Ew = Hw * Z0
+            pf_fy = a_fy * phase
+            pf_fx = a_fx * phase
+            Exp = Exp + pf_fy * (Ew * c_fy_x) + pf_fx * (Ew * c_fx_x)
+            Eyp = Eyp + pf_fy * (Ew * c_fy_y) + pf_fx * (Ew * c_fx_y)
+            Hxp = Hxp + pf_fy * Hw
+            Hyp = Hyp + pf_fx * Hw
+        return (Exp, Eyp, Hxp, Hyp), mask.sum()
+
+    (Exp, Eyp, Hxp, Hyp), counts = jax.lax.scan(
+        body, (Exp, Eyp, Hxp, Hyp), (orders_arr, values_all))
+    return Exp, Eyp, Hxp, Hyp, counts
+
+
+def _stack_order_tables(interpolators, wavelength_in_nm, all_orders, kinds):
+    """(n_orders, 4, *grid, 2) stacked value tables + the shared grids."""
+    values_all = jnp.stack([
+        jnp.stack([interpolators[(wavelength_in_nm, (ox, oy), p, a)].values
+                   for p in ("x", "y") for a in kinds])
+        for (ox, oy) in all_orders])
+    g = interpolators[(wavelength_in_nm, all_orders[0], "x", kinds[0])].grids
+    return values_all, g
 
 
 def _hex_site_table(lens_center_summary, pitch):
@@ -255,48 +302,44 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     Hxp = cpx.zeros(X.shape, X.dtype)
     Hyp = cpx.zeros(X.shape, X.dtype)
 
-    # ---- periphery accumulation: dense masked per-(gc, order) ----
+    # ---- periphery accumulation: one scan-over-orders program per gc ----
     for gc_index, gc in enumerate(gratingcollection_list):
-        all_orders = {(e["ox"], e["oy"]) for g in gc.grating_list
-                      for e in g.data}
+        all_orders = sorted({(e["ox"], e["oy"]) for g in gc.grating_list
+                             for e in g.data})
         bounds = gc.interpolator_bounds
         gc_mask = which_gc == gc_index
-        if not bool(jnp.any(gc_mask)):
+        # one fused device program + one fetch for the occupancy count and
+        # the bounds checks (the reference's explicit raises,
+        # nearfield.py:294-305)
+        stats = np.asarray(_region_stats(gc_mask, uxp, uyp, grating_period))
+        if stats[0] == 0:
             continue
-        # bounds checks, matching the reference's explicit raises
-        # (nearfield.py:294-305)
-        for name, arr, lo, hi in (("ux", uxp, bounds[0], bounds[1]),
-                                  ("uy", uyp, bounds[2], bounds[3]),
-                                  ("grating_period", grating_period,
-                                   bounds[4], bounds[5])):
-            amin = float(jnp.where(gc_mask, arr, jnp.inf).min())
-            amax = float(jnp.where(gc_mask, arr, -jnp.inf).max())
-            if amin < lo:
+        for i, (name, lo, hi) in enumerate(
+                (("ux", bounds[0], bounds[1]),
+                 ("uy", bounds[2], bounds[3]),
+                 ("grating_period", bounds[4], bounds[5]))):
+            if stats[1 + i] < lo:
                 raise ValueError(f"need to calculate at smaller {name}!",
-                                 amin, lo)
-            if amax > hi:
+                                 float(stats[1 + i]), lo)
+            if stats[4 + i] > hi:
                 raise ValueError(f"need to calculate at bigger {name}!",
-                                 amax, hi)
+                                 float(stats[4 + i]), hi)
         pts = jnp.stack([uxp.ravel(), uyp.ravel(),
                          grating_period.ravel()], axis=1)
-        for (ox, oy) in sorted(all_orders):
-            kxp = kvac * uxp + ox * 2 * pi / grating_period
-            kyp = kvac * uyp + oy * 2 * pi / lateral_period
-            mask = (kxp ** 2 + kyp ** 2 <= kvac ** 2) & gc_mask
-            if progress:
+        values_all, grids = _stack_order_tables(
+            gc.interpolators, wavelength_in_nm, all_orders,
+            ("ampfy", "ampfx"))
+        orders_arr = jnp.asarray(np.asarray(all_orders, dtype=float),
+                                 dtype=X.dtype)
+        Exp, Eyp, Hxp, Hyp, counts = _accumulate_orders(
+            values_all, orders_arr, grids[0], grids[1], grids[2], pts,
+            gc_mask, uxp, uyp, 2 * pi / grating_period,
+            2 * pi / lateral_period, xp, yp, kvac, k_glass, n_glass,
+            H_xp_weight, H_yp_weight, Exp, Eyp, Hxp, Hyp)
+        if progress:
+            for (ox, oy), cnt in zip(all_orders, np.asarray(counts)):
                 print(f"diffraction order ({ox},{oy}) of gc {gc_index}; "
-                      f"applies at {int(mask.sum())} points", flush=True)
-            kzp = jnp.sqrt(jnp.maximum(k_glass ** 2 - kxp ** 2 - kyp ** 2,
-                                       1e-12 * kvac ** 2))
-            phase = cpx.expi(kxp * xp + kyp * yp) * mask
-            f0 = gc.interpolators[(wavelength_in_nm, (ox, oy), "x", "ampfy")]
-            values4 = jnp.stack([
-                gc.interpolators[(wavelength_in_nm, (ox, oy), p, a)].values
-                for p in ("x", "y") for a in ("ampfy", "ampfx")])
-            Exp, Eyp, Hxp, Hyp = _combo_accumulate(
-                values4, f0.grids[0], f0.grids[1], f0.grids[2], pts, phase,
-                kxp, kyp, kzp, k_glass, n_glass,
-                H_xp_weight, H_yp_weight, Exp, Eyp, Hxp, Hyp)
+                      f"applies at {int(cnt)} points", flush=True)
 
     # air propagation phase to the grating center (reference
     # nearfield.py:333-347), then rotate back to lab frame
@@ -327,22 +370,22 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
         H_x_weight = dipole_field_Hy
         H_y_weight = dipole_field_Hx
 
-        all_orders = {(e["ox"], e["oy"]) for g in hexgridset.grating_list
-                      for e in g.data}
+        all_orders = sorted({(e["ox"], e["oy"])
+                             for g in hexgridset.grating_list
+                             for e in g.data})
         x_period = hexgridset.grating_list[0].grating_period
         y_period = hexgridset.grating_list[0].lateral_period
         b = hexgridset.interpolator_bounds
-        cmask_any = in_center
-        for name, arr, lo, hi in (("ux", ux, b[0], b[1]),
-                                  ("uy", uy, b[2], b[3])):
-            amin = float(jnp.where(cmask_any, arr, jnp.inf).min())
-            amax = float(jnp.where(cmask_any, arr, -jnp.inf).max())
-            if amin < lo:
-                raise ValueError(f"need to calculate at smaller {name}!",
-                                 amin, lo)
-            if amax > hi:
-                raise ValueError(f"need to calculate at bigger {name}!",
-                                 amax, hi)
+        stats = np.asarray(_region_stats(in_center, ux, uy, ux))
+        if stats[0] > 0:
+            for i, (name, lo, hi) in enumerate((("ux", b[0], b[1]),
+                                                ("uy", b[2], b[3]))):
+                if stats[1 + i] < lo:
+                    raise ValueError(f"need to calculate at smaller {name}!",
+                                     float(stats[1 + i]), lo)
+                if stats[4 + i] > hi:
+                    raise ValueError(f"need to calculate at bigger {name}!",
+                                     float(stats[4 + i]), hi)
         pts = jnp.stack([ux.ravel(), uy.ravel(),
                          which_grating.astype(jnp.float64
                                               if X.dtype == jnp.float64
@@ -353,26 +396,22 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
         Eyc = cpx.zeros(X.shape, X.dtype)
         Hxc = cpx.zeros(X.shape, X.dtype)
         Hyc = cpx.zeros(X.shape, X.dtype)
-        for (ox, oy) in sorted(all_orders):
-            kx = kvac * ux + ox * 2 * pi / x_period
-            ky = kvac * uy + oy * 2 * pi / y_period
-            mask = (kx ** 2 + ky ** 2 <= kvac ** 2) & in_center
-            if progress:
-                print(f"diffraction order ({ox},{oy}) of center; applies at "
-                      f"{int(mask.sum())} points", flush=True)
-            kz = jnp.sqrt(jnp.maximum(k_glass ** 2 - kx ** 2 - ky ** 2,
-                                      1e-12 * kvac ** 2))
-            phase = cpx.expi(kx * (X - cell_center_x)
-                             + ky * (Y - cell_center_y)) * mask
-            f0 = hexgridset.interpolators[(wavelength_in_nm, (ox, oy),
-                                           "x", "ampfy")]
-            values4 = jnp.stack([
-                hexgridset.interpolators[(wavelength_in_nm, (ox, oy), p, a)].values
-                for p in ("x", "y") for a in ("ampfy", "ampfx")])
-            Exc, Eyc, Hxc, Hyc = _combo_accumulate(
-                values4, f0.grids[0], f0.grids[1], f0.grids[2], pts, phase,
-                kx, ky, kz, k_glass, n_glass,
-                H_x_weight, H_y_weight, Exc, Eyc, Hxc, Hyc)
+        values_all, grids = _stack_order_tables(
+            hexgridset.interpolators, wavelength_in_nm, all_orders,
+            ("ampfy", "ampfx"))
+        orders_arr = jnp.asarray(np.asarray(all_orders, dtype=float),
+                                 dtype=X.dtype)
+        invp1 = jnp.asarray(2 * pi / x_period, dtype=X.dtype)
+        invp2 = jnp.asarray(2 * pi / y_period, dtype=X.dtype)
+        Exc, Eyc, Hxc, Hyc, counts = _accumulate_orders(
+            values_all, orders_arr, grids[0], grids[1], grids[2], pts,
+            in_center, ux, uy, invp1, invp2, X - cell_center_x,
+            Y - cell_center_y, kvac, k_glass, n_glass,
+            H_x_weight, H_y_weight, Exc, Eyc, Hxc, Hyc)
+        if progress:
+            for (ox, oy), cnt in zip(all_orders, np.asarray(counts)):
+                print(f"diffraction order ({ox},{oy}) of center; applies "
+                      f"at {int(cnt)} points", flush=True)
         if source_z > -inf:
             air_dist = jnp.sqrt((cell_center_x - source_x) ** 2
                                 + (cell_center_y - source_y) ** 2

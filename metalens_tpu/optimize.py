@@ -37,104 +37,112 @@ from .units import nm, degree, pi, inf
 # parity optimizers (derivative-free)
 # --------------------------------------------------------------------------
 
+def _ratchet_walk(g, direction, fom_now, current_fom, similar_to,
+                  how_similar, verbose, loud_validate=False, max_steps=10):
+    """Walk ``g.xyrra_list`` along a fixed ``direction`` (full xyrra-shaped
+    step), keeping each step only if the geometry stays feasible and the
+    FOM does not drop (ties advance -- the reference's acceptance rule).
+    The first rejected step is undone and ends the walk; at most
+    ``max_steps`` steps stick.  Every kept step is standardized and, when
+    ``verbose``, announced as a new record in the reference's
+    spec-roundtrip format.  Returns (fom after the walk, whether any step
+    stuck)."""
+    xyrra = g.xyrra_list          # standardize() mutates in place, so the
+    advanced = False              # alias stays valid across steps
+    for _ in range(max_steps):
+        xyrra += direction
+        if not validate(g, similar_to=similar_to, how_similar=how_similar):
+            xyrra -= direction
+            break
+        fom_stepped = current_fom()
+        if fom_stepped < fom_now:
+            xyrra -= direction
+            break
+        g.standardize()
+        assert validate(g, similar_to=similar_to, how_similar=how_similar,
+                        print_details=loud_validate)
+        if verbose:
+            print("#New record! ", fom_stepped)
+            print("mygrating=" + repr(g), flush=True)
+            print("", flush=True)
+        fom_now = fom_stepped
+        advanced = True
+    return fom_now, advanced
+
+
 def optimize(mygrating_start, target_wavelength, similar_to=None,
              how_similar=None, subfolder=None, numG=50, terms=None,
              verbose=True):
-    """Cyclic coordinate descent (reference ``grating.py:685-745``).
+    """Cyclic coordinate descent: shuffled sweeps over every (ellipse,
+    parameter) coordinate, ratcheting each one by +-1 nm (+-0.3 deg for the
+    rotation column) while the FOM holds or improves, until a full sweep
+    makes no progress.  Behavioral parity with the reference's
+    derivative-free optimizer (``grating.py:685-745``): same step sizes,
+    acceptance rule, per-direction step cap, and stopping criterion.
     ``subfolder`` is accepted for API parity and ignored (no temp dirs)."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
-    mygrating = mygrating_start.copy()
-    xyrra_list = mygrating.xyrra_list
-    fom_now = fom_of_grating(mygrating, target_wavelength=target_wavelength,
-                             numG=numG, terms=terms)
+    g = mygrating_start.copy()
+
+    def current_fom():
+        return fom_of_grating(g, target_wavelength=target_wavelength,
+                              numG=numG, terms=terms)
+
+    fom_now = current_fom()
     if verbose:
         print("fom now...", fom_now, flush=True)
-    found_optimum = False
-    things_to_try_changing = [(i, j) for i in range(xyrra_list.shape[0])
-                              for j in range(xyrra_list.shape[1])]
-    while found_optimum is False:
-        random.shuffle(things_to_try_changing)
-        found_optimum = True
-        for index in things_to_try_changing:
-            dont_bother_trying_opposite_change = False
-            if index[1] == 4:
-                changes = [-.3 * degree, .3 * degree]
-            else:
-                changes = [-1 * nm, 1 * nm]
-            for change in changes:
-                if dont_bother_trying_opposite_change is True:
-                    continue
-                for _ in range(10):
-                    xyrra_list[index] += change
-                    if not validate(mygrating, similar_to=similar_to,
-                                    how_similar=how_similar):
-                        xyrra_list[index] -= change
-                        break
-                    fom_new = fom_of_grating(
-                        mygrating, target_wavelength=target_wavelength,
-                        numG=numG, terms=terms)
-                    if fom_new < fom_now:
-                        xyrra_list[index] -= change
-                        break
-                    else:
-                        mygrating.standardize()
-                        assert validate(mygrating, similar_to=similar_to,
-                                        how_similar=how_similar)
-                        if verbose:
-                            print("#New record! ", fom_new)
-                            print("mygrating=" + repr(mygrating), flush=True)
-                            print("", flush=True)
-                        fom_now = fom_new
-                        found_optimum = False
-                        dont_bother_trying_opposite_change = True
-    return mygrating
+    n_ell, n_par = g.xyrra_list.shape
+    coords = [(e, p) for e in range(n_ell) for p in range(n_par)]
+    stalled = False
+    while not stalled:
+        random.shuffle(coords)
+        stalled = True
+        for e, p in coords:
+            size = 0.3 * degree if p == 4 else 1 * nm
+            for signed in (-size, size):
+                direction = np.zeros_like(g.xyrra_list)
+                direction[e, p] = signed
+                fom_now, moved = _ratchet_walk(
+                    g, direction, fom_now, current_fom, similar_to,
+                    how_similar, verbose)
+                if moved:
+                    stalled = False
+                    break    # this direction won; don't probe its opposite
+    return g
 
 
 def optimize2(mygrating_start, target_wavelength, attempts=inf,
               similar_to=None, how_similar=None, subfolder=None, numG=50,
               terms=None, verbose=True, rng=None):
-    """Random simultaneous perturbation (reference ``grating.py:747-795``)."""
+    """Random simultaneous perturbation: each attempt draws one uniform
+    step for ALL coordinates at once (per-coordinate ceiling 1 nm / 0.1 deg,
+    divided by the coordinate count) and ratchets along it.  Behavioral
+    parity with reference ``grating.py:747-795``."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     rng = rng or np.random
-    mygrating = mygrating_start.copy()
-    xyrra_list = mygrating.xyrra_list
-    fom_now = fom_of_grating(mygrating, target_wavelength=target_wavelength,
-                             numG=numG, terms=terms)
+    g = mygrating_start.copy()
+
+    def current_fom():
+        return fom_of_grating(g, target_wavelength=target_wavelength,
+                              numG=numG, terms=terms)
+
+    fom_now = current_fom()
     if verbose:
         print("fom now...", fom_now, flush=True)
-    max_change_array = np.empty_like(xyrra_list)
-    max_change_array[:, 0:4] = 1 * nm
-    max_change_array[:, 4] = 0.1 * degree
-    max_change_array /= xyrra_list.size
-    attempts_so_far = 0
-    while attempts_so_far < attempts:
-        attempts_so_far += 1
-        xyrra_list_change = max_change_array * (
-            2 * rng.random(size=xyrra_list.shape) - 1)
-        for _ in range(10):
-            xyrra_list += xyrra_list_change
-            if not validate(mygrating, similar_to=similar_to,
-                            how_similar=how_similar):
-                xyrra_list -= xyrra_list_change
-                break
-            fom_new = fom_of_grating(
-                mygrating, target_wavelength=target_wavelength,
-                numG=numG, terms=terms)
-            if fom_new < fom_now:
-                xyrra_list -= xyrra_list_change
-                break
-            else:
-                mygrating.standardize()
-                assert validate(mygrating, similar_to=similar_to,
-                                how_similar=how_similar, print_details=True)
-                if verbose:
-                    print("#New record! ", fom_new)
-                    print("mygrating=" + repr(mygrating), flush=True)
-                    print("", flush=True)
-                fom_now = fom_new
-    return mygrating
+    step_ceiling = np.empty_like(g.xyrra_list)
+    step_ceiling[:, 0:4] = 1 * nm
+    step_ceiling[:, 4] = 0.1 * degree
+    step_ceiling /= g.xyrra_list.size
+    tried = 0
+    while tried < attempts:
+        tried += 1
+        direction = step_ceiling * (2 * rng.random(size=step_ceiling.shape)
+                                    - 1)
+        fom_now, _ = _ratchet_walk(g, direction, fom_now, current_fom,
+                                   similar_to, how_similar, verbose,
+                                   loud_validate=True)
+    return g
 
 
 # --------------------------------------------------------------------------

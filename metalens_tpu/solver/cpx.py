@@ -211,14 +211,51 @@ def _embed(A: C):
     return jnp.block([[A.re, -A.im], [A.im, A.re]])
 
 
-def solve(A: C, B: C) -> C:
+def solve_embed(A: C, B: C) -> C:
     """Solve A X = B for general complex A via partial-pivoted LU on the
-    real embedding (backward stable; ~2x cheaper than QR on the MXU)."""
+    full real 2n-embedding (backward stable regardless of the conditioning
+    of Re(A); the reference implementation that :func:`solve` is checked
+    against)."""
     n = A.re.shape[0]
     M = _embed(A)
     rhs = jnp.concatenate([B.re, B.im], axis=0)
     sol = jnp.linalg.solve(M, rhs)
     return C(sol[:n], sol[n:])
+
+
+def solve_schur(A: C, B: C) -> C:
+    """Solve A X = B via block elimination of the real 2n-embedding.
+
+    With A = R + iI, the embedding [[R, -I], [I, R]] is eliminated through
+    its (1,1) block: factor R, form the Schur complement S = R + I R^-1 I,
+    factor S, then
+
+        Xi = S^-1 (Bi - I R^-1 Br),   Xr = R^-1 Br + (R^-1 I) Xi.
+
+    Two real n x n LUs instead of one (2n)^3 LU -- 4x fewer factorization
+    FLOPs -- with the remaining work as triangular solves and plain matmuls
+    (nearly free on the MXU).  Caveat: stability additionally requires Re(A)
+    to be well-conditioned, which every solve on the RCWA hot path satisfies
+    by construction (pinned by tests/test_star_specializations.py against
+    :func:`solve_embed` across the design domain, incl. grazing orders):
+    the lossy ``rcwa.EPS_REF`` doubling basis keeps the star and conversion
+    matrices I-dominant-real, and the Toeplitz eps has SPD real part.  For
+    matrices without that structure use :func:`solve_embed`."""
+    from jax.scipy.linalg import lu_factor, lu_solve
+    R, Im = A.re, A.im
+    fR = lu_factor(R)
+    W = lu_solve(fR, Im)                 # R^-1 I
+    S = R + Im @ W
+    fS = lu_factor(S)
+    u = lu_solve(fR, B.re)               # R^-1 Br
+    Xi = lu_solve(fS, B.im - Im @ u)
+    return C(u + W @ Xi, Xi)
+
+
+def solve(A: C, B: C) -> C:
+    """Solve A X = B for general complex A (hot-path default: the
+    Schur-complement elimination of the real embedding)."""
+    return solve_schur(A, B)
 
 
 def qr_solve(A: C, B: C) -> C:
@@ -233,10 +270,9 @@ def qr_solve(A: C, B: C) -> C:
     return C(sol[:n], sol[n:])
 
 
-def cho_solve_hermitian(A: C, B: C) -> C:
-    """Solve A X = B for Hermitian positive-definite A (e.g. the Laurent
-    Toeplitz eps matrix): the real embedding of an HPD matrix is symmetric
-    positive definite, so the TPU's Cholesky applies."""
+def cho_solve_hermitian_embed(A: C, B: C) -> C:
+    """Solve A X = B for Hermitian positive-definite A via one Cholesky of
+    the full real 2n-embedding (which is symmetric positive definite)."""
     n = A.re.shape[0]
     M = _embed(A)
     rhs = jnp.concatenate([B.re, B.im], axis=0)
@@ -245,3 +281,28 @@ def cho_solve_hermitian(A: C, B: C) -> C:
     sol = jax.lax.linalg.triangular_solve(L, y, left_side=True, lower=True,
                                           transpose_a=True)
     return C(sol[:n], sol[n:])
+
+
+def cho_solve_hermitian(A: C, B: C) -> C:
+    """Solve A X = B for Hermitian positive-definite A (e.g. the Laurent
+    Toeplitz eps matrix) via Schur elimination of the SPD embedding: for
+    A = R + iI Hermitian, R is SPD and so is the Schur complement
+    S = R + I R^-1 I, so two n x n Choleskys replace one (2n)^3 one
+    (same split as :func:`solve_schur`; unconditionally stable here because
+    positive-definiteness certifies both pivots)."""
+    def _cho(M):
+        L = jnp.linalg.cholesky(M)
+        def slv(rhs):
+            y = jax.lax.linalg.triangular_solve(L, rhs, left_side=True,
+                                                lower=True)
+            return jax.lax.linalg.triangular_solve(L, y, left_side=True,
+                                                   lower=True,
+                                                   transpose_a=True)
+        return slv
+    R, Im = A.re, A.im
+    solveR = _cho(R)
+    W = solveR(Im)                       # R^-1 I
+    solveS = _cho(R + Im @ W)
+    u = solveR(B.re)
+    Xi = solveS(B.im - Im @ u)
+    return C(u + W @ Xi, Xi)
