@@ -2,12 +2,12 @@
 """Headline benchmark: RCWA unit-cell solves/sec on one chip.
 
 One "solve" = one full unit-cell S-matrix solve (air / patterned pillar
-layer / glass) at numG=50 -- the configuration of the reference's
-optimization loop (reference ``grating.py:205`` numG=50 default; each
-reference FOM evaluation spawns one S4.exe process whose work is exactly one
-such solve per wavelength).  Both incident polarizations come out of each
-solve.  The BASELINE.md north-star target is >= 10^3 solves/sec/chip;
-``vs_baseline`` is value / 1000.
+layer / glass) at numG=50 in the PRODUCTION configuration -- the
+normal-vector factorization on, exactly the accuracy class the reference
+runs every S4 solve with (``grating.lua:180-181``), at the reference's
+optimization-loop numG (``grating.py:205``).  Both incident polarizations
+come out of each solve.  The BASELINE.md north-star target is >= 10^3
+solves/sec/chip; ``vs_baseline`` is value / 1000.
 
 Prints ONE JSON line.
 """
@@ -31,6 +31,14 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug); default uses the configured "
                          "JAX platform (TPU under the driver)")
+    ap.add_argument("--fff", dest="fff", action="store_true", default=True,
+                    help="solve with the normal-vector factorization "
+                         "(default: it is the engine default, matching "
+                         "S4's always-on accuracy class; measured ~3%% "
+                         "cost at numG=50)")
+    ap.add_argument("--laurent", dest="fff", action="store_false",
+                    help="plain Laurent factorization (the raw solver "
+                         "kernel without the NV correction)")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +71,7 @@ def main():
     def solve_one(xy, ux1, uy1):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
-            n_slabs=n_slabs, taylor_terms=taylor)
+            n_slabs=n_slabs, taylor_terms=taylor, fff=args.fff)
         c = jnp.zeros((2 * numG, 2), dtype=xy.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + numG, 1].set(1.0)
         return S.s11 @ c, S.s21 @ c
@@ -90,7 +98,8 @@ def main():
 
     solves_per_sec = B * args.iters / best_dt
     print(json.dumps({
-        "metric": f"rcwa_unit_cell_solves_per_sec_per_chip_numG{numG}",
+        "metric": ("rcwa_unit_cell_solves_per_sec_per_chip_numG"
+                   f"{numG}{'' if args.fff else '_laurent'}"),
         "value": round(solves_per_sec, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / 1000.0, 4),

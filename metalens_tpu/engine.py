@@ -105,7 +105,7 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
         S_struct, at_zero = ellipse_structure_toeplitz(
             orders, Lx, Ly, xyrra, small_arg_only=small_u)
         if fff:
-            from .solver.fff import normal_projector_toeplitz
+            from .solver.fff import normal_projector_toeplitz, nv_blocks
             P_blocks = normal_projector_toeplitz(orders, Lx, Ly, xyrra)
         for t in range(T):
             E = toeplitz_from_structure(S_struct, at_zero, eps_p[t])
@@ -114,12 +114,13 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
                 E_recip = (S_struct * (cpx.promote(1.0) / eps_p[t]
                                        - cpx.promote(1.0))
                            + cpx.promote(1.0) * at_zero)
-                inv_recip = cpx.cho_solve_hermitian(
-                    E_recip, cpx.eye(E.shape[0], E.re.dtype))
+                solve_h = (cpx.cho_solve_hermitian if hermitian_eps
+                           else cpx.solve)
+                inv_recip = solve_h(E_recip,
+                                    cpx.eye(E.shape[0], E.re.dtype))
                 Delta = E - inv_recip
                 Pxx, Pxy, Pyy = P_blocks
-                M_blocks = (E - Delta @ Pxx, -(Delta @ Pxy),
-                            E - Delta @ Pyy)
+                M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy)
             S, Kx, Ky = rcwa.cell_smatrix_with_eps(
                 orders, E, Lx, Ly, h, eps_g[t], lam[t],
                 ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms,
@@ -184,12 +185,16 @@ def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
 def fom_of_grating(g, target_wavelength=None, numG: int = 50,
                    terms: Sequence[FomTerm] | None = None,
                    taylor_terms: int | None = None, rdtype=None, xyrra=None,
-                   fff: bool = False) -> float:
+                   fff: bool = True) -> float:
     """Figure of merit of one Grating (the ``run_lua`` replacement,
     reference stack ``grating.py:283-317`` + ``grating.lua:290-332``).
-    ``fff=True`` enables the normal-vector Fourier factorization (the
-    accuracy class of S4's UseNormalVectorBasis) -- markedly faster numG
-    convergence at ~25% extra cost per solve."""
+
+    The normal-vector Fourier factorization is ON by default -- the
+    accuracy class S4 runs every production solve with
+    (UsePolarizationDecomposition + UseNormalVectorBasis, reference
+    ``grating.lua:180-181``): markedly faster numG convergence, energy-
+    exact (fff.nv_blocks symmetrization), measured ~6% extra cost per
+    solve on chip.  ``fff=False`` selects the plain Laurent rule."""
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
@@ -204,11 +209,11 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
 
 def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
                        terms=None, taylor_terms: int | None = None,
-                       rdtype=None, fff: bool = False):
+                       rdtype=None, fff: bool = True):
     """Return a function xyrra -> (fom, d fom / d xyrra), jitted & cached.
-    Exact shape derivatives through the whole solve (with fff=True the
-    factorization-correction matrices are stop-gradiented; derivatives flow
-    through the analytic Laurent part)."""
+    Exact shape derivatives through the whole solve, including the NV
+    factorization correction (its geometric term is ~10% of the gradient
+    for radius moves; pinned vs finite differences in test_parallel)."""
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
@@ -268,7 +273,7 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
                          wavelength, numG: int, just_normal: bool = False,
                          convert_to_xy: bool = True, include_tir: bool = False,
                          taylor_terms: int | None = None, rdtype=None,
-                         max_scan_order: int = 5, fff: bool = False):
+                         max_scan_order: int = 5, fff: bool = True):
     """Amplitude database sweep for one grating: returns the reference's
     list-of-dicts schema (``grating.py:408-478``), computed as one batched
     on-device solve over the (ux, uy) grid with both incident polarizations

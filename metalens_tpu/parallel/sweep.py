@@ -24,7 +24,7 @@ from ..solver.fom import term_score
 
 def _fom_one_cell(orders, n_slabs, taylor_terms, target_idx, inphase,
                   xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, ng_now, cos_theta,
-                  weights):
+                  weights, fff=True):
     """FOM of a single cell over T terms (arrays of length T; eps_p/eps_g
     are cpx.C arrays)."""
     N = orders.shape[0]
@@ -35,7 +35,7 @@ def _fom_one_cell(orders, n_slabs, taylor_terms, target_idx, inphase,
     for t in range(T):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xyrra, Lx, Ly, h, eps_p[t], eps_g[t], lam[t], ux[t], 0.0,
-            n_slabs=n_slabs, taylor_terms=taylor_terms)
+            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff)
         cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
         cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
@@ -51,7 +51,7 @@ def _fom_one_cell(orders, n_slabs, taylor_terms, target_idx, inphase,
 
 
 def sharded_fom_and_grad(mesh, orders, n_slabs, target_idx, inphase,
-                         taylor_terms=12, axis_name="cells"):
+                         taylor_terms=12, axis_name="cells", fff=True):
     """Build a jitted SPMD function:
 
         (xyrra[B, nE, 5], Lx[B], Ly[B], h, eps_p[T], eps_g[T], lam[T],
@@ -74,7 +74,8 @@ def sharded_fom_and_grad(mesh, orders, n_slabs, target_idx, inphase,
         def one(xy, lx, ly, u, ct):
             return _fom_one_cell(orders, n_slabs, taylor_terms,
                                  target_idx, inphase, xy, lx, ly, h,
-                                 eps_p, eps_g, lam, u, ng_now, ct, weights)
+                                 eps_p, eps_g, lam, u, ng_now, ct, weights,
+                                 fff=fff)
         foms = jax.vmap(one)(xyrra, Lx, Ly, ux, cos_theta)
         return jax.lax.pmean(jnp.mean(foms), axis_name)
 
@@ -94,7 +95,7 @@ def sharded_fom_and_grad(mesh, orders, n_slabs, target_idx, inphase,
 
 
 def sharded_characterize_amps(mesh, orders, n_slabs, taylor_terms=12,
-                              axis_name="cells"):
+                              axis_name="cells", fff=True):
     """Build a jitted SPMD characterize sweep: the (direction x cell) batch
     sharded over the mesh.
 
@@ -108,7 +109,7 @@ def sharded_characterize_amps(mesh, orders, n_slabs, taylor_terms=12,
     def one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders_np, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
-            n_slabs=n_slabs, taylor_terms=taylor_terms)
+            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff)
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         return (S.s11 @ c).T, (S.s21 @ c).T

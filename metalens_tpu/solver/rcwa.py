@@ -461,7 +461,8 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
         from .fff import fff_eps_blocks
         E, Mxx, Mxy, Myy = fff_eps_blocks(
             np.asarray(orders), grating_period, lateral_period, xyrra,
-            eps_pillar, small_arg_only=eps_small_u)
+            eps_pillar, small_arg_only=eps_small_u,
+            hermitian=hermitian_eps)
         M_blocks = (Mxx, Mxy, Myy)
     else:
         E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,

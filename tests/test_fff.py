@@ -62,9 +62,11 @@ def test_fff_accelerates_convergence():
     assert abs(a_lau_161 - ref) < abs(a_lau_61 - ref)
 
 
-def test_fff_energy_approximate():
-    """NV factorization trades the Laurent rule's exact energy structure for
-    convergence; the violation must stay small and shrink with numG."""
+def test_fff_energy_exact():
+    """The symmetrized NV factorization keeps the eps operator Hermitian, so
+    the S-matrix stays flux-unitary at ANY truncation -- exactly like the
+    Laurent rule (this was a 1.4-3.3% defect before the Hermitian
+    symmetrization in fff.nv_blocks; see fff.py docstring)."""
     def energy(numG):
         orders = ordmod.select_orders(LX, LY, numG)
         i0 = ordmod.order_index(orders, 0, 0)
@@ -85,31 +87,33 @@ def test_fff_energy_approximate():
         Pin = float(basis.order_powers(np.asarray(c), Kx, Ky, Kz_a,
                                        1.0).sum())
         return (Pt + Pr) / Pin
-    e61 = energy(61)
-    e121 = energy(121)
-    assert abs(e61 - 1) < 0.03
-    assert abs(e121 - 1) < abs(e61 - 1)
+    assert abs(energy(61) - 1) < 1e-10
+    assert abs(energy(25) - 1) < 1e-10
 
 
-def test_engine_fff_flag():
+def test_engine_fff_default_and_flag():
+    """fff (NV factorization) is the engine default -- S4 parity with its
+    always-on accuracy options -- and fff=False selects Laurent."""
     from metalens_tpu import Grating
     from metalens_tpu.solver.fom import FomTerm
     g = Grating(lateral_period=LY, cyl_height=H, grating_period=LX,
                 xyrra_list_in_nm_deg=np.array([[-215., 2., 144., 111., 0.],
                                                [196., -8., 100., 130., 5.7]]))
     terms = [FomTerm(LAM, 1.0, -1, True)]
-    f_lau = g.fom(target_wavelength=LAM, numG=30, terms=terms)
     from metalens_tpu.engine import fom_of_grating
+    f_default = g.fom(target_wavelength=LAM, numG=30, terms=terms)
     f_fff = fom_of_grating(g, target_wavelength=LAM, numG=30, terms=terms,
                            fff=True)
-    assert np.isfinite(f_fff) and f_fff != f_lau
+    f_lau = fom_of_grating(g, target_wavelength=LAM, numG=30, terms=terms,
+                           fff=False)
+    assert f_default == f_fff          # NV is the default
+    assert np.isfinite(f_lau) and f_lau != f_fff
 
 
-def test_fff_energy_wobble_bounded_laurent_exact():
-    """Laurent is energy-exact at ANY truncation; fff trades that invariant
-    for convergence speed -- its defect must stay inside the measured
-    envelope (worst observed across random cells: 3.3% @ numG=25, 0.8%
-    @ numG=100; see PARITY.md).  This is why fff stays opt-in."""
+def test_fff_and_laurent_both_energy_exact():
+    """Both factorizations are now energy-exact at any truncation (Laurent
+    by construction; NV via the Hermitian symmetrization in fff.nv_blocks),
+    on the full slab_schedule production path."""
     numG = 49
     ux, uy = 0.3, 0.1
     orders = ordmod.select_orders(LX, LY, numG)
@@ -135,4 +139,4 @@ def test_fff_energy_wobble_bounded_laurent_exact():
         uz = np.sqrt(1 - ux * ux - uy * uy)
         defects[fff] = abs((Pt + Pr) / uz - 1.0)
     assert defects[False] < 1e-10          # Laurent: exact
-    assert defects[True] < 5e-2            # fff: bounded wobble
+    assert defects[True] < 1e-10           # fff: exact too (symmetrized)

@@ -136,7 +136,7 @@ def test_sharded_characterize_matches_engine():
     # compare one element against the single-cell engine program (which
     # batches (wavelength, direction) jointly: give eps/lam a batch dim)
     from metalens_tpu.engine import _characterize_program, _orders_key
-    single = _characterize_program(_orders_key(orders), ns, 10)
+    single = _characterize_program(_orders_key(orders), ns, 10, fff=True)
     eps_p1 = cpx.from_np(np.asarray([NT ** 2 + 0j]))
     eps_g1 = cpx.from_np(np.asarray([NG ** 2 + 0j]))
     a1, r1 = single(jnp.asarray(xyrra[5]), float(Lx[5]), float(Ly[5]),
