@@ -94,7 +94,9 @@ def _angular_power(fftEx: C, fftEy: C, fftHx: C, fftHy: C, ux_list, uy_list,
     uz2 = 1.0 - ux ** 2 - uy ** 2
     uz = jnp.sqrt(jnp.where(uz2 < 0, jnp.nan, uz2))
     sintheta = jnp.sqrt(ux ** 2 + uy ** 2)
-    s = sintheta + 1e-9
+    # exact spherical basis for every off-axis bin; the on-axis bin (the only
+    # place sintheta = 0 on an FFT grid) is overridden by its limit below
+    s = jnp.where(sintheta == 0.0, 1.0, sintheta)
     a = ux * uz / s
     b = uy * uz / s
     cphi = ux / s
