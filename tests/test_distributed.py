@@ -1,0 +1,80 @@
+"""Multi-host scale-out API (parallel.distributed), exercised end-to-end in
+its single-process degenerate case on the 8-device virtual mesh: the same
+code path a pod-slice deployment runs (global mesh, per-host shard
+assembly via make_array_from_process_local_data, worker ranges from the
+process grid), minus the actual DCN.  Replaces the reference's
+run-on-N-computers worker_number split (grating.py:30-35, 1173-1184)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from metalens_tpu.parallel import (init_distributed, global_mesh,
+                                   global_batch_from_host_shards,
+                                   replicate_to_mesh, host_slice,
+                                   multihost_barrier,
+                                   sharded_characterize_amps)
+from metalens_tpu.solver import cpx, orders as ordmod, rcwa
+from metalens_tpu.units import nm
+
+
+def test_single_process_degenerate_case_is_noop():
+    init_distributed()          # no coordinator -> no-op
+    assert jax.process_count() == 1
+    start, stop = host_slice(16)
+    assert (start, stop) == (0, 16)
+    multihost_barrier()         # no-op, must not raise
+
+
+def test_global_mesh_spans_all_devices():
+    mesh = global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = global_mesh(axis_names=("cells", "ap"), shape=(4, 2))
+    assert mesh2.shape == {"cells": 4, "ap": 2}
+
+
+def test_host_shard_assembly_and_sweep():
+    """Assemble a global batch from the 'host-local' shard and run the
+    sharded characterize program on it -- the full multi-host data path."""
+    mesh = global_mesh()
+    B = 8
+    LX, LY, LAM = 1200 * nm, 320 * nm, 580 * nm
+    NG, NT = 1.459, 2.372
+    rng = np.random.default_rng(3)
+    base = np.array([[-215 * nm, 2 * nm, 144 * nm, 111 * nm, 0.0],
+                     [196 * nm, -8 * nm, 100 * nm, 130 * nm, 0.1]])
+    start, stop = host_slice(B)
+    local = {
+        "xyrra": np.stack([base + rng.normal(scale=2 * nm, size=base.shape)
+                           for _ in range(start, stop)]),
+        "Lx": np.full(stop - start, LX),
+        "Ly": np.full(stop - start, LY),
+        "ux": np.linspace(0.3, 0.6, B)[start:stop],
+        "uy": np.zeros(stop - start),
+    }
+    g = global_batch_from_host_shards(mesh, local)
+    for v in g.values():
+        assert v.shape[0] == B and isinstance(v, jax.Array)
+    rep = replicate_to_mesh(mesh, {"h": 550 * nm, "lam": LAM})
+
+    numG = 25
+    orders = ordmod.select_orders(LX, LY, numG)
+    q2 = rcwa.q2_upper_bound(orders, LX, LY, LAM, NT ** 2)
+    ns = rcwa.default_n_slabs(2 * np.pi * 550 * nm / LAM, q2)
+    fn = sharded_characterize_amps(mesh, orders, ns)
+    eps_p = cpx.from_np(np.asarray(NT ** 2 + 0j))
+    eps_g = cpx.from_np(np.asarray(NG ** 2 + 0j))
+    ampf, ampr = fn(g["xyrra"], g["Lx"], g["Ly"], rep["h"], eps_p, eps_g,
+                    rep["lam"], g["ux"], g["uy"])
+    assert ampf.shape == (B, 2, 2 * numG)
+    # energy sanity on one cell: |t|^2-weighted powers finite and bounded
+    a = cpx.to_np(ampf)
+    assert np.isfinite(a).all()
+    assert (np.abs(a) < 10).all()
+
+    # and the same batch through plain jnp arrays agrees exactly
+    a2, _ = fn(jnp.asarray(np.concatenate([local["xyrra"]])),
+               jnp.asarray(local["Lx"]), jnp.asarray(local["Ly"]), 550 * nm,
+               eps_p, eps_g, LAM, jnp.asarray(local["ux"]),
+               jnp.asarray(local["uy"]))
+    np.testing.assert_allclose(cpx.to_np(ampf), cpx.to_np(a2), atol=1e-12)
