@@ -39,6 +39,33 @@ def test_schur_matches_embed_on_random():
         Xe = cpx.solve_embed(A, B)
         assert _rel_diff(Xs, Xe) < 1e-12
         assert _residual(A, Xs, B) < 1e-12
+        Xm = cpx.solve_matmul(A, B)
+        assert _rel_diff(Xm, Xe) < 1e-11
+        assert _residual(A, Xm, B) < 1e-11
+
+
+def test_hermitian_blockrec_matches_cholesky():
+    rng = np.random.default_rng(5)
+    for n in (20, 100):
+        M = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+        A_np = M @ M.conj().T + n * np.eye(n)
+        B_np = rng.normal(size=(n, 7)) + 1j * rng.normal(size=(n, 7))
+        A, B = cpx.from_np(A_np), cpx.from_np(B_np)
+        Xc = cpx.cho_solve_hermitian(A, B)
+        Xm = cpx.cho_solve_hermitian_matmul(A, B) if n > 64 else \
+            cpx.inv_blockrec_hermitian(A, base=16) @ B
+        assert _rel_diff(Xm, Xc) < 1e-11
+        assert _residual(A, Xm, B) < 1e-11
+
+
+def test_inv_blockrec_recurses_below_base():
+    rng = np.random.default_rng(2)
+    n = 200   # 200 -> 100 -> 50: two recursion levels before the base case
+    A = cpx.from_np(np.eye(n) + 0.3 * (rng.normal(size=(n, n))
+                                       + 1j * rng.normal(size=(n, n))) / np.sqrt(n))
+    Ai = cpx.inv_blockrec(A, base=64)
+    I = cpx.to_np(Ai) @ cpx.to_np(A)
+    assert np.abs(I - np.eye(n)).max() < 1e-12
 
 
 def test_embed_handles_singular_real_part():
@@ -92,10 +119,18 @@ def test_every_hot_path_solve_is_inside_the_schur_contract(
         n_slabs=n_slabs, taylor_terms=taylor, hermitian_eps=hermitian)
     np.asarray(S.s11.re)  # materialize
     assert len(captured) >= 3  # slab->S, >=0 doublings, 2 conversions
-    for A, B, X in captured:
+    # snapshot: the blockrec check below re-enters the patched cpx.solve
+    # at its base case, which would otherwise grow the list mid-iteration
+    for A, B, X in list(captured):
         Xe = cpx.solve_embed(A, B)
         assert _rel_diff(X, Xe) < 1e-9
         assert _residual(A, X, B) < 1e-9
+        # the unpivoted all-matmul route must hold on the same matrices
+        # (base=16 forces real recursion depth even at these small n)
+        Xm = cpx.solve_matmul(A, B) if A.shape[0] > 64 else \
+            cpx.inv_blockrec(A, base=16) @ B
+        assert _rel_diff(Xm, Xe) < 1e-8
+        assert _residual(A, Xm, B) < 1e-8
         # Re(A) must itself be invertible with modest conditioning --
         # the structural property the lossy EPS_REF basis buys us
         condR = np.linalg.cond(np.asarray(A.re))
