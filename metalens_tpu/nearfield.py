@@ -165,7 +165,8 @@ def _nearest_center_site(x, y, table, n1_min, n2_min, pitch, site_xy):
 def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
                     lens_periphery_summary, lens_center_summary, hexgridset,
                     x_pts=None, y_pts=None,
-                    dipole_moment=1e-30 * nu.C * nu.m, progress=False):
+                    dipole_moment=1e-30 * nu.C * nu.m, progress=False,
+                    sharding=None):
     """Near-field of the whole lens on the aperture grid.
 
     Source: point dipole at (source_x, source_y, source_z<0) polarized along
@@ -178,6 +179,15 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     n_glass); fields are cpx.C real-pair arrays of shape (len(x_pts),
     len(y_pts)) -- convert with cpx.to_np for host numpy complex.  ``lens_periphery_summary`` may be None for a center-only
     lens.
+
+    ``sharding``: optional `jax.sharding.Sharding` for (num_x, num_y)
+    aperture arrays.  Every point-shaped tensor in the stitch derives
+    elementwise from the (X, Y) meshgrid, so sharding X/Y at creation
+    makes XLA's SPMD partitioner run the whole stitch -- including the
+    jitted scan-over-orders kernels -- distributed over the mesh, with the
+    amplitude tables replicated and zero steady-state collectives.  (This
+    supersedes the round-1 per-device host loop; see
+    :func:`metalens_tpu.parallel.nearfield.build_nearfield_sharded`.)
     """
     assert source_z < 0
     assert source_pol in ("x", "y", "z")
@@ -224,6 +234,9 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     kvac = 2 * pi / wavelength
 
     X, Y = jnp.meshgrid(jnp.asarray(x_pts), jnp.asarray(y_pts), indexing="ij")
+    if sharding is not None:
+        X = jax.device_put(X, sharding)
+        Y = jax.device_put(Y, sharding)
     lens_r = jnp.sqrt(X ** 2 + Y ** 2)
     lens_phi = jnp.arctan2(Y, X)
 
