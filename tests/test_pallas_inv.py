@@ -1,0 +1,95 @@
+"""Fused Pallas complex inverse: correctness (interpret mode on CPU),
+agreement with the XLA block-recursive route on actual hot-path matrices,
+and the custom VJP."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from metalens_tpu.solver import cpx, orders as ordmod, rcwa
+from metalens_tpu.solver.pallas_inv import inv_pallas, pad_size
+from metalens_tpu.units import nm
+
+
+def _rand_wellcond(rng, n, B=None):
+    shape = (n, n) if B is None else (B, n, n)
+    A = (np.eye(n) + 0.4 * (rng.normal(size=shape)
+         + 1j * rng.normal(size=shape)) / np.sqrt(n))
+    return A.astype(np.complex64)
+
+
+@pytest.mark.parametrize("n,B", [(100, 3), (200, 2), (32, 1), (130, 2)])
+def test_interpret_inverse_random(n, B):
+    rng = np.random.default_rng(0)
+    A_np = _rand_wellcond(rng, n, B)
+    W = inv_pallas(cpx.from_np(A_np), True)
+    Wn = cpx.to_np(W)
+    for b in range(B):
+        assert np.abs(Wn[b] @ A_np[b] - np.eye(n)).max() < 5e-5
+
+
+def test_unbatched_and_pad_size():
+    rng = np.random.default_rng(1)
+    A_np = _rand_wellcond(rng, 100)
+    W = cpx.to_np(inv_pallas(cpx.from_np(A_np), True))
+    assert np.abs(W @ A_np - np.eye(100)).max() < 5e-5
+    assert pad_size(100) == 128 and pad_size(200) == 256
+    assert pad_size(300) is None
+
+
+def test_matches_blockrec_on_hot_path_matrices(monkeypatch):
+    """Capture the solves cell_smatrix actually issues and pin the fused
+    kernel against the XLA block recursion on those matrices."""
+    captured = []
+    orig = cpx.solve
+
+    def capturing(A, B):
+        X = orig(A, B)
+        captured.append(A)
+        return X
+
+    monkeypatch.setattr(cpx, "solve", capturing)
+    monkeypatch.setattr(rcwa.cpx, "solve", capturing)
+    LX, LY, LAM, H = 1200 * nm, 320 * nm, 580 * nm, 550 * nm
+    orders = ordmod.select_orders(LX, LY, 25)
+    ns, taylor = rcwa.slab_schedule(2 * np.pi * H / LAM, orders, LX, LY,
+                                    LAM, 2.372 ** 2)
+    xyrra = jnp.asarray(np.asarray(
+        [[-215., 2., 144., 111., 0.], [196., -8., 100., 130., 0.1]])
+        * [nm, nm, nm, nm, 1.0])
+    S, _, _ = rcwa.cell_smatrix(orders, xyrra, LX, LY, H, 2.372 ** 2,
+                                1.459 ** 2, LAM, 0.45, 0.1,
+                                n_slabs=ns, taylor_terms=taylor)
+    np.asarray(S.s11.re)
+    monkeypatch.setattr(cpx, "solve", orig)
+    assert len(captured) >= 3
+    for A in captured:
+        A32 = A.astype(jnp.float32)
+        W_pl = cpx.to_np(inv_pallas(A32, True))
+        W_br = cpx.to_np(cpx.inv_blockrec(A32))
+        scale = np.abs(W_br).max()
+        assert np.abs(W_pl - W_br).max() / scale < 5e-5
+
+
+def test_custom_vjp_matches_blockrec_grad():
+    rng = np.random.default_rng(2)
+    n = 40
+    A_np = _rand_wellcond(rng, n)
+    G_np = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+            ).astype(np.complex64)
+    Gc = cpx.from_np(G_np)
+
+    def loss_pl(A):
+        W = inv_pallas(A, True)
+        return jnp.sum(W.re * Gc.re + W.im * Gc.im)
+
+    def loss_br(A):
+        W = cpx.inv_blockrec(A, base=16)
+        return jnp.sum(W.re * Gc.re + W.im * Gc.im)
+
+    A = cpx.from_np(A_np)
+    g_pl = jax.grad(loss_pl)(A)
+    g_br = jax.grad(loss_br)(A)
+    scale = np.abs(cpx.to_np(g_br)).max()
+    assert np.abs(cpx.to_np(g_pl) - cpx.to_np(g_br)).max() / scale < 1e-4
