@@ -29,13 +29,19 @@ def run_variant(impl, numG, B, iters, windows, fff):
     from metalens_tpu.solver import cpx, orders as ordmod, rcwa
     from metalens_tpu.units import nm
 
+    if impl.endswith("+f32all"):   # whole-program f32 matmul precision
+        impl = impl[:-7]
+        jax.config.update("jax_default_matmul_precision", "float32")
+    else:
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
     if impl.endswith("+hmm"):      # also swap the Hermitian (Einv) solve
         impl = impl[:-4]
         cpx.cho_solve_hermitian = cpx.cho_solve_hermitian_matmul
     if ":" in impl:
         impl, cpx.SOLVE_PRECISION = impl.split(":")
+    from metalens_tpu.solver.pallas_inv import solve_pallas
     base = {"schur": cpx.solve_schur, "matmul": cpx.solve_matmul,
-            "embed": cpx.solve_embed}[impl]
+            "embed": cpx.solve_embed, "pallas": solve_pallas}[impl]
     cpx.solve = base   # rebinding the module attr retargets rcwa's calls
 
     LX, LY = 1200 * nm, 320 * nm

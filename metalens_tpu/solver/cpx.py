@@ -149,11 +149,21 @@ def eye(n, rdtype=None) -> C:
     return C(jnp.eye(n, dtype=rdtype), jnp.zeros((n, n), rdtype))
 
 
+# Precision of every cpx matmul.  TPU f32 matmuls default to bf16 inputs
+# (8 mantissa bits); across the solver's assembly chain (Taylor powers,
+# star products) that compounds to a ~3e-2 absolute error floor on O(1)
+# S-matrix amplitudes vs f64 truth -- measured on chip, where forcing f32
+# passes cost 0-3% whole-program (the small batched matmuls are
+# bandwidth/latency-bound, so the extra MXU passes are free).
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
 def matmul(a: C, b: C) -> C:
-    """Karatsuba complex matmul: 3 real matmuls instead of 4."""
-    t1 = a.re @ b.re
-    t2 = a.im @ b.im
-    t3 = (a.re + a.im) @ (b.re + b.im)
+    """Karatsuba complex matmul: 3 real matmuls instead of 4, at
+    MATMUL_PRECISION (see note above)."""
+    t1 = jnp.matmul(a.re, b.re, precision=MATMUL_PRECISION)
+    t2 = jnp.matmul(a.im, b.im, precision=MATMUL_PRECISION)
+    t3 = jnp.matmul(a.re + a.im, b.re + b.im, precision=MATMUL_PRECISION)
     return C(t1 - t2, t3 - t1 - t2)
 
 
@@ -348,15 +358,39 @@ def solve_matmul(A: C, B: C) -> C:
         return inv_blockrec(A) @ B
 
 
+# Use the fused Pallas inverse kernel for hot-path solves on TPU-class
+# backends (f32, n <= 256).  Measured whole-program wins over the XLA
+# block recursion: numG=100 718 -> 935 solves/s, numG=50 2219 -> 2610
+# (the kernel keeps the entire recursion in VMEM: one HBM read of A and
+# one write of A^-1 instead of ~54 separate matmul round trips).
+USE_PALLAS_SOLVE = True
+
+
+def _pallas_eligible(A: C) -> bool:
+    if not USE_PALLAS_SOLVE or A.re.dtype != jnp.float32:
+        return False
+    n = A.shape[-1]
+    if not (32 < n <= 256):
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:
+        return False
+
+
 def solve(A: C, B: C) -> C:
     """Solve A X = B for general complex A.  Hot-path default: the
-    unpivoted block-recursive explicit inverse applied by matmul
-    (:func:`solve_matmul`) -- on TPU it is both the fastest route (all
-    MXU work, no triangular substitution; +55% whole-program at numG=100)
-    and, with SOLVE_PRECISION products, the most accurate f32 route
-    (2.8e-6 vs solve_schur's bf16-polluted 6.9e-3 on an n=200 probe).
-    Requires the well-conditioned-blocks contract (see
-    :func:`inv_blockrec`); use :func:`solve_embed` outside it."""
+    unpivoted block-recursive explicit inverse applied by matmul -- all
+    MXU work, no triangular substitution -- as the fused Pallas VMEM
+    kernel on TPU-class backends (f32, n <= 256) and as the XLA recursion
+    (:func:`solve_matmul`) elsewhere.  With SOLVE_PRECISION products this
+    is also the most accurate f32 route (2.8e-6 vs solve_schur's
+    bf16-polluted 6.9e-3 on an n=200 probe).  Requires the
+    well-conditioned-blocks contract (see :func:`inv_blockrec`); use
+    :func:`solve_embed` outside it."""
+    if _pallas_eligible(A):
+        from .pallas_inv import solve_pallas
+        return solve_pallas(A, B)
     return solve_matmul(A, B)
 
 

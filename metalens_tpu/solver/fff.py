@@ -120,8 +120,10 @@ def normal_projector_toeplitz(orders, grating_period, lateral_period, xyrra,
         u_best = jnp.minimum(u_best, d)
 
     def project(field):
-        re = field @ jnp.asarray(dft_re, field.dtype)
-        im = field @ jnp.asarray(dft_im, field.dtype)
+        re = jnp.matmul(field, jnp.asarray(dft_re, field.dtype),
+                        precision=cpx.MATMUL_PRECISION)
+        im = jnp.matmul(field, jnp.asarray(dft_im, field.dtype),
+                        precision=cpx.MATMUL_PRECISION)
         idx = jnp.asarray(gather)
         return C(re[idx], im[idx])
 
