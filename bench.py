@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--laurent", dest="fff", action="store_false",
                     help="plain Laurent factorization (the raw solver "
                          "kernel without the NV correction)")
+    ap.add_argument("--no-star-kernel", action="store_true",
+                    help="disable the fused Pallas doubling kernel (A/B)")
+    ap.add_argument("--no-inv-kernel", action="store_true",
+                    help="disable the fused Pallas inverse kernel (A/B)")
+    ap.add_argument("--gj-base", type=int, default=0,
+                    help="override the Pallas Gauss-Jordan base size (A/B)")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +52,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from metalens_tpu.solver import cpx, orders as ordmod, rcwa
+
+    if args.no_star_kernel:
+        cpx.USE_PALLAS_STAR = False
+    if args.no_inv_kernel:
+        cpx.USE_PALLAS_SOLVE = False
+    if args.gj_base:
+        from metalens_tpu.solver import pallas_inv
+        pallas_inv._GJ_BASE = args.gj_base
     from metalens_tpu.units import nm
 
     LX, LY = 1200 * nm, 320 * nm

@@ -51,47 +51,41 @@ def _cmul(ar, ai, br, bi):
 
 def _gj_inverse(ar, ai, n):
     """Unpivoted Gauss-Jordan inverse of one n x n complex matrix (values,
-    not refs).  n is static and small (32); runs on the VPU.  Row/column/
-    pivot extraction uses masked reductions -- Mosaic has no dynamic_slice
-    of VMEM values."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    not refs).  n is static and small (32); runs on the VPU.
 
-    def body(k, carry):
-        Mr, Mi, Xr, Xi = carry
-        is_krow = rows == k
-        is_kcol = cols == k
-        pr = jnp.sum(jnp.where(is_krow & is_kcol, Mr, 0.0))
-        pi = jnp.sum(jnp.where(is_krow & is_kcol, Mi, 0.0))
+    The elimination is STATICALLY UNROLLED over the pivot index k, so every
+    slice is static (Mosaic has no dynamic_slice of VMEM *values*, but
+    static slices lower fine) and each step is a single fused rank-1
+    broadcast update of the augmented [M | X]:
+
+        M <- M - (f - e_k) s,   f = M[:, k],  s = M[k, :] / M[k, k]
+
+    which both eliminates column k from every other row and writes the
+    scaled pivot row in place (row k of M is pivot * s, so subtracting
+    (pivot - 1) s leaves exactly s).  No iota masks, no reductions, no
+    loop-carried fori state -- ~3x fewer VPU ops than the masked-reduction
+    formulation this replaces (kept in git history)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(ar.dtype)
+    Mr = jnp.concatenate([ar, eye], axis=1)
+    Mi = jnp.concatenate([ai, jnp.zeros((n, n), ar.dtype)], axis=1)
+    for k in range(n):
+        pr = Mr[k, k]
+        pi = Mi[k, k]
         d = pr * pr + pi * pi
-        rowMr = jnp.sum(jnp.where(is_krow, Mr, 0.0), axis=0, keepdims=True)
-        rowMi = jnp.sum(jnp.where(is_krow, Mi, 0.0), axis=0, keepdims=True)
-        rowXr = jnp.sum(jnp.where(is_krow, Xr, 0.0), axis=0, keepdims=True)
-        rowXi = jnp.sum(jnp.where(is_krow, Xi, 0.0), axis=0, keepdims=True)
-        # divide pivot row by the pivot
-        sMr = (rowMr * pr + rowMi * pi) / d
-        sMi = (rowMi * pr - rowMr * pi) / d
-        sXr = (rowXr * pr + rowXi * pi) / d
-        sXi = (rowXi * pr - rowXr * pi) / d
-        Mr = jnp.where(is_krow, jnp.broadcast_to(sMr, Mr.shape), Mr)
-        Mi = jnp.where(is_krow, jnp.broadcast_to(sMi, Mi.shape), Mi)
-        Xr = jnp.where(is_krow, jnp.broadcast_to(sXr, Xr.shape), Xr)
-        Xi = jnp.where(is_krow, jnp.broadcast_to(sXi, Xi.shape), Xi)
-        # eliminate column k from every other row
-        fr = jnp.sum(jnp.where(is_kcol, Mr, 0.0), axis=1, keepdims=True)
-        fi = jnp.sum(jnp.where(is_kcol, Mi, 0.0), axis=1, keepdims=True)
-        krow_col = jnp.sum(jnp.where(is_kcol, is_krow.astype(fr.dtype), 0.0),
-                           axis=1, keepdims=True)          # 1 at row k
-        fr = fr * (1.0 - krow_col)
-        fi = fi * (1.0 - krow_col)
-        Mr, Mi = Mr - (fr * sMr - fi * sMi), Mi - (fr * sMi + fi * sMr)
-        Xr, Xi = Xr - (fr * sXr - fi * sXi), Xi - (fr * sXi + fi * sXr)
-        return Mr, Mi, Xr, Xi
-
-    Xr0 = jnp.eye(n, dtype=ar.dtype)
-    Xi0 = jnp.zeros((n, n), ar.dtype)
-    _, _, Xr, Xi = jax.lax.fori_loop(0, n, body, (ar, ai, Xr0, Xi0))
-    return Xr, Xi
+        cr = pr / d
+        ci = -pi / d
+        rowr = Mr[k:k + 1, :]
+        rowi = Mi[k:k + 1, :]
+        sr = rowr * cr - rowi * ci          # s = row_k / pivot
+        si = rowr * ci + rowi * cr
+        ek = (rows == k).astype(ar.dtype)
+        gr = Mr[:, k:k + 1] - ek            # f - e_k
+        gi = Mi[:, k:k + 1]
+        Mr = Mr - (gr * sr - gi * si)
+        Mi = Mi - (gr * si + gi * sr)
+    return Mr[:, n:], Mi[:, n:]
 
 
 def _cinv(ar, ai, size):

@@ -439,7 +439,13 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
     we_inv = basis.we_inv_blocks(Kx, Ky, Kz_ref, n_ref)
 
     S = slab_smatrix_in_basis(T, we, we_inv)
-    for _ in range(int(math.log2(n_slabs))):
+    K = int(math.log2(n_slabs))
+    if K and cpx.USE_PALLAS_STAR and cpx._pallas_eligible(S.s11):
+        # fused VMEM doubling: the whole K-iteration loop in one kernel
+        from .pallas_star import double_sym_pallas
+        s11, s12 = double_sym_pallas(S.s11, S.s12, K)
+        return SMatrix(s11, s12, s12, s11)
+    for _ in range(K):
         S = redheffer_star_self_symmetric(S)
     return S
 
