@@ -39,8 +39,6 @@ def main():
     ap.add_argument("--laurent", dest="fff", action="store_false",
                     help="plain Laurent factorization (the raw solver "
                          "kernel without the NV correction)")
-    ap.add_argument("--no-star-kernel", action="store_true",
-                    help="disable the fused Pallas doubling kernel (A/B)")
     ap.add_argument("--no-inv-kernel", action="store_true",
                     help="disable the fused Pallas inverse kernel (A/B)")
     ap.add_argument("--gj-base", type=int, default=0,
@@ -53,8 +51,6 @@ def main():
     import jax.numpy as jnp
     from metalens_tpu.solver import cpx, orders as ordmod, rcwa
 
-    if args.no_star_kernel:
-        cpx.USE_PALLAS_STAR = False
     if args.no_inv_kernel:
         cpx.USE_PALLAS_SOLVE = False
     if args.gj_base:

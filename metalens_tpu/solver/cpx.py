@@ -365,12 +365,6 @@ def solve_matmul(A: C, B: C) -> C:
 # one write of A^-1 instead of ~54 separate matmul round trips).
 USE_PALLAS_SOLVE = True
 
-# Fuse the entire star-doubling loop (solver/pallas_star.py) in VMEM on
-# TPU backends: one HBM read/write for the whole layer-doubling stage
-# instead of ~6 matmul round trips per doubling.  Same eligibility rules
-# as USE_PALLAS_SOLVE (f32, 32 < n <= 256, non-CPU backend).
-USE_PALLAS_STAR = True
-
 
 def _pallas_eligible(A: C) -> bool:
     if not USE_PALLAS_SOLVE or A.re.dtype != jnp.float32:

@@ -88,50 +88,121 @@ def _gj_inverse(ar, ai, n):
     return Mr[:, n:], Mi[:, n:]
 
 
-def _cinv(ar, ai, size):
-    """Statically unrolled block-recursive inverse (values in VMEM)."""
+def _cmul_multi(As, Bs):
+    """Karatsuba products of G independent pairs, INTERLEAVED: all first
+    passes are emitted back to back, then all seconds, then all thirds.
+    Each matrix's three products form a dependency-free run with the other
+    matrices' -- the MXU pipeline stays fed instead of stalling on one
+    matrix's chain (the measured per-instance floor of the G=1 kernel)."""
+    t1 = [jnp.dot(a[0], b[0], precision=_HIGH,
+                  preferred_element_type=jnp.float32)
+          for a, b in zip(As, Bs)]
+    t2 = [jnp.dot(a[1], b[1], precision=_HIGH,
+                  preferred_element_type=jnp.float32)
+          for a, b in zip(As, Bs)]
+    t3 = [jnp.dot(a[0] + a[1], b[0] + b[1], precision=_HIGH,
+                  preferred_element_type=jnp.float32)
+          for a, b in zip(As, Bs)]
+    return [(x1 - x2, x3 - x1 - x2) for x1, x2, x3 in zip(t1, t2, t3)]
+
+
+def _gj_multi(Ms, n):
+    """G interleaved unrolled Gauss-Jordan inverses (see _gj_inverse)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
+    augs = []
+    for ar, ai in Ms:
+        augs.append((jnp.concatenate([ar, eye.astype(ar.dtype)], axis=1),
+                     jnp.concatenate([ai, jnp.zeros((n, n), ar.dtype)],
+                                     axis=1)))
+    for k in range(n):
+        ek = None
+        nxt = []
+        for Mr, Mi in augs:
+            pr = Mr[k, k]
+            pi = Mi[k, k]
+            d = pr * pr + pi * pi
+            cr = pr / d
+            ci = -pi / d
+            rowr = Mr[k:k + 1, :]
+            rowi = Mi[k:k + 1, :]
+            sr = rowr * cr - rowi * ci
+            si = rowr * ci + rowi * cr
+            if ek is None:
+                ek = (rows == k).astype(Mr.dtype)
+            gr = Mr[:, k:k + 1] - ek
+            gi = Mi[:, k:k + 1]
+            nxt.append((Mr - (gr * sr - gi * si), Mi - (gr * si + gi * sr)))
+        augs = nxt
+    return [(Mr[:, n:], Mi[:, n:]) for Mr, Mi in augs]
+
+
+def _cinv_multi(As, size):
+    """Statically unrolled block-recursive inverse of G independent
+    matrices (values in VMEM), primitives interleaved across the G."""
     if size <= _GJ_BASE:
-        return _gj_inverse(ar, ai, size)
+        return _gj_multi(As, size)
     m = size // 2
-    A11r, A11i = ar[:m, :m], ai[:m, :m]
-    A12r, A12i = ar[:m, m:], ai[:m, m:]
-    A21r, A21i = ar[m:, :m], ai[m:, :m]
-    A22r, A22i = ar[m:, m:], ai[m:, m:]
-    I11r, I11i = _cinv(A11r, A11i, m)
-    Wr, Wi = _cmul(I11r, I11i, A12r, A12i)
-    Tr, Ti = _cmul(A21r, A21i, Wr, Wi)
-    SIr, SIi = _cinv(A22r - Tr, A22i - Ti, m)
-    Vr, Vi = _cmul(A21r, A21i, I11r, I11i)
-    SiVr, SiVi = _cmul(SIr, SIi, Vr, Vi)
-    Ur, Ui = _cmul(Wr, Wi, SiVr, SiVi)
-    B12r, B12i = _cmul(Wr, Wi, SIr, SIi)
-    top_r = jnp.concatenate([I11r + Ur, -B12r], axis=1)
-    top_i = jnp.concatenate([I11i + Ui, -B12i], axis=1)
-    bot_r = jnp.concatenate([-SiVr, SIr], axis=1)
-    bot_i = jnp.concatenate([-SiVi, SIi], axis=1)
-    return (jnp.concatenate([top_r, bot_r], axis=0),
-            jnp.concatenate([top_i, bot_i], axis=0))
+    A11 = [(ar[:m, :m], ai[:m, :m]) for ar, ai in As]
+    A12 = [(ar[:m, m:], ai[:m, m:]) for ar, ai in As]
+    A21 = [(ar[m:, :m], ai[m:, :m]) for ar, ai in As]
+    A22 = [(ar[m:, m:], ai[m:, m:]) for ar, ai in As]
+    I11 = _cinv_multi(A11, m)
+    W = _cmul_multi(I11, A12)
+    T = _cmul_multi(A21, W)
+    SI = _cinv_multi([(a[0] - t[0], a[1] - t[1])
+                      for a, t in zip(A22, T)], m)
+    V = _cmul_multi(A21, I11)
+    SiV = _cmul_multi(SI, V)
+    U = _cmul_multi(W, SiV)
+    B12 = _cmul_multi(W, SI)
+    outs = []
+    for i11, u, b12, siv, si in zip(I11, U, B12, SiV, SI):
+        top_r = jnp.concatenate([i11[0] + u[0], -b12[0]], axis=1)
+        top_i = jnp.concatenate([i11[1] + u[1], -b12[1]], axis=1)
+        bot_r = jnp.concatenate([-siv[0], si[0]], axis=1)
+        bot_i = jnp.concatenate([-siv[1], si[1]], axis=1)
+        outs.append((jnp.concatenate([top_r, bot_r], axis=0),
+                     jnp.concatenate([top_i, bot_i], axis=0)))
+    return outs
 
 
-def _inv_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, P):
-    wr, wi = _cinv(ar_ref[0], ai_ref[0], P)
-    or_ref[0] = wr
-    oi_ref[0] = wi
+def _inv_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, P, G):
+    outs = _cinv_multi([(ar_ref[g], ai_ref[g]) for g in range(G)], P)
+    for g, (wr, wi) in enumerate(outs):
+        or_ref[g] = wr
+        oi_ref[g] = wi
 
 
-@functools.lru_cache(maxsize=8)
-def _build_call(P: int, interpret: bool):
+# matrices per kernel instance (grid step): interleaving G independent
+# recursions hides the small-matmul dependency latency that floors the
+# G=1 kernel at ~44us/inverse (P=128; G=8 measures 23us).  VMEM-bounded:
+# the v5e scoped-vmem limit is 16MB and the recursion's live set is
+# ~1.1MB per P=128 matrix (G=16 OOMs at 17.5MB), ~4.4MB at P=256.
+GROUP = {128: 8, 256: 2}
+
+
+def _pick_group(P: int, B: int) -> int:
+    g = GROUP.get(P, 1)
+    while g > 1 and B % g:
+        g //= 2
+    return g
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(P: int, interpret: bool, G: int = 1):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    spec = pl.BlockSpec((1, P, P), lambda b: (b, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    spec = pl.BlockSpec((G, P, P), lambda b: (b, 0, 0),
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
 
     def call(ar, ai):
         B = ar.shape[0]
         return pl.pallas_call(
-            functools.partial(_inv_kernel, P=P),
-            grid=(B,),
+            functools.partial(_inv_kernel, P=P, G=G),
+            grid=(B // G,),
             in_specs=[spec, spec],
             out_specs=[spec, spec],
             out_shape=[jax.ShapeDtypeStruct((B, P, P), jnp.float32)] * 2,
@@ -141,6 +212,33 @@ def _build_call(P: int, interpret: bool):
             interpret=interpret,
         )(ar, ai)
     return call
+
+
+@functools.lru_cache(maxsize=8)
+def _inv_core(P: int, interpret: bool):
+    """Single-matrix (P, P) inverse with a CUSTOM VMAP RULE: production
+    code calls the inverse per cell under jax.vmap, where the default
+    pallas batching would lift to a G=1 grid (one matrix per grid step --
+    the measured 44us/instance latency floor).  The rule sees the whole
+    batch at vmap time and dispatches the GROUP-interleaved kernel."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def core(ar, ai):
+        wr, wi = _build_call(P, interpret, 1)(ar[None], ai[None])
+        return wr[0], wi[0]
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, ar, ai):
+        ar = ar if in_batched[0] else jnp.broadcast_to(ar[None],
+                                                       (axis_size, P, P))
+        ai = ai if in_batched[1] else jnp.broadcast_to(ai[None],
+                                                       (axis_size, P, P))
+        G = _pick_group(P, axis_size)
+        wr, wi = _build_call(P, interpret, G)(ar, ai)
+        return (wr, wi), (True, True)
+
+    return core
 
 
 def pad_size(n: int):
@@ -167,7 +265,12 @@ def inv_pallas(A: C, interpret: bool = False) -> C:
             jnp.pad(ar, ((0, 0), (0, 0), (0, P - n))),
             jnp.broadcast_to(eye_tail, (B, P - n, P))], axis=1)
         ai = jnp.pad(ai, ((0, 0), (0, P - n), (0, P - n)))
-    wr, wi = _build_call(P, interpret)(ar, ai)
+    core = _inv_core(P, interpret)
+    if batched:
+        wr, wi = jax.vmap(core)(ar, ai)       # rule -> grouped kernel
+    else:
+        wr, wi = core(ar[0], ai[0])           # engages the rule under an
+        wr, wi = wr[None], wi[None]           # enclosing jax.vmap
     out = C(wr[:, :n, :n], wi[:, :n, :n])
     return out if batched else out[0]
 

@@ -439,13 +439,14 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
     we_inv = basis.we_inv_blocks(Kx, Ky, Kz_ref, n_ref)
 
     S = slab_smatrix_in_basis(T, we, we_inv)
-    K = int(math.log2(n_slabs))
-    if K and cpx.USE_PALLAS_STAR and cpx._pallas_eligible(S.s11):
-        # fused VMEM doubling: the whole K-iteration loop in one kernel
-        from .pallas_star import double_sym_pallas
-        s11, s12 = double_sym_pallas(S.s11, S.s12, K)
-        return SMatrix(s11, s12, s12, s11)
-    for _ in range(K):
+    # Plain XLA doubling loop; each star's solve dispatches to the grouped
+    # Pallas inverse.  A kernel fusing the WHOLE K-doubling loop in VMEM
+    # (solver/pallas_star.py, round 2, git history) measured STRICTLY
+    # SLOWER than this: its larger live set caps the interleave group at
+    # 4 matrices/grid-step (1 at P=256) vs the inverse kernel's 8 (2),
+    # and group interleaving beats matmul fusion (4563 vs 4278 solves/s
+    # at numG=50, 1507 vs 1330 at numG=100, on chip).
+    for _ in range(int(math.log2(n_slabs))):
         S = redheffer_star_self_symmetric(S)
     return S
 
