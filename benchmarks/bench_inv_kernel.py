@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--gj-base", type=int, default=0)
     ap.add_argument("--group", type=int, default=0,
                     help="override matrices per kernel instance")
+    ap.add_argument("--passes", choices=["highest", "high", "default"],
+                    default="highest",
+                    help="in-kernel matmul precision (6/3/1 bf16 passes)")
     ap.add_argument("--xla", action="store_true",
                     help="time the XLA block recursion instead")
     ap.add_argument("--windows", type=int, default=3)
@@ -47,6 +50,9 @@ def main():
         pallas_inv._GJ_BASE = args.gj_base
     if args.group:
         pallas_inv.GROUP = {128: args.group, 256: args.group}
+    pallas_inv._HIGH = {"highest": jax.lax.Precision.HIGHEST,
+                        "high": jax.lax.Precision.HIGH,
+                        "default": jax.lax.Precision.DEFAULT}[args.passes]
 
     n, B = args.n, args.batch
     rng = np.random.default_rng(0)
@@ -73,8 +79,16 @@ def main():
         np.asarray(fn(Ad).re[0, :2, :2])
         best = min(best, time.perf_counter() - t0)
 
+    # accuracy alongside: residual ||W A - I||_max on one matrix
+    W1 = (jax.vmap(cpx.inv_blockrec)(Ad[:1]) if args.xla
+          else pallas_inv.inv_pallas(Ad[:1], args.cpu))
+    R = cpx.matmul(W1, Ad[:1])
+    resid = float(np.abs(np.asarray(R.re[0]) - np.eye(n)).max()
+                  + np.abs(np.asarray(R.im[0])).max())
+
     per_inst_us = best / (B * args.depth) * 1e6
     print(json.dumps({
+        "residual_WA_minus_I": round(resid, 9),
         "impl": ("xla" if args.xla
                  else f"pallas(gj{args.gj_base or 32},G{args.group or 'auto'})"),
         "n": n, "batch": B, "depth": args.depth,

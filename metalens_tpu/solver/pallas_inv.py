@@ -40,13 +40,9 @@ _GJ_BASE = 32
 _HIGH = jax.lax.Precision.HIGHEST
 
 
-def _cmul(ar, ai, br, bi):
-    """Karatsuba complex matmul at float32 MXU precision."""
-    t1 = jnp.dot(ar, br, precision=_HIGH, preferred_element_type=jnp.float32)
-    t2 = jnp.dot(ai, bi, precision=_HIGH, preferred_element_type=jnp.float32)
-    t3 = jnp.dot(ar + ai, br + bi, precision=_HIGH,
-                 preferred_element_type=jnp.float32)
-    return t1 - t2, t3 - t1 - t2
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_HIGH,
+                   preferred_element_type=jnp.float32)
 
 
 def _gj_inverse(ar, ai, n):
@@ -94,15 +90,9 @@ def _cmul_multi(As, Bs):
     Each matrix's three products form a dependency-free run with the other
     matrices' -- the MXU pipeline stays fed instead of stalling on one
     matrix's chain (the measured per-instance floor of the G=1 kernel)."""
-    t1 = [jnp.dot(a[0], b[0], precision=_HIGH,
-                  preferred_element_type=jnp.float32)
-          for a, b in zip(As, Bs)]
-    t2 = [jnp.dot(a[1], b[1], precision=_HIGH,
-                  preferred_element_type=jnp.float32)
-          for a, b in zip(As, Bs)]
-    t3 = [jnp.dot(a[0] + a[1], b[0] + b[1], precision=_HIGH,
-                  preferred_element_type=jnp.float32)
-          for a, b in zip(As, Bs)]
+    t1 = [_dot(a[0], b[0]) for a, b in zip(As, Bs)]
+    t2 = [_dot(a[1], b[1]) for a, b in zip(As, Bs)]
+    t3 = [_dot(a[0] + a[1], b[0] + b[1]) for a, b in zip(As, Bs)]
     return [(x1 - x2, x3 - x1 - x2) for x1, x2, x3 in zip(t1, t2, t3)]
 
 
