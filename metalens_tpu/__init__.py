@@ -24,6 +24,35 @@ Quick start::
     g_opt = optimize(g, target_wavelength=785*nm)
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache, on by default.
+
+    Remote-TPU compiles cost minutes per jit signature per process
+    (measured: the second process running bench.py drops 3m40s -> 2m20s
+    wall once the cache is warm), and the CPU test suite re-jits dozens
+    of programs per run.  Opt out with METALENS_NO_COMPILE_CACHE=1 or by
+    setting jax's cache dir yourself first."""
+    if _os.environ.get("METALENS_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            path = _os.path.join(_os.path.expanduser("~"), ".cache",
+                                 "metalens_tpu_xla")
+            _os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+    except Exception:
+        pass  # cache is an optimization; never block import
+
+
+_enable_compile_cache()
+
 from . import units, materials, geometry
 from .units import nm, um, degree
 from .grating import (Grating, GratingCollection, validate, resize,

@@ -1,4 +1,4 @@
-"""Fused batched complex inverse as a Pallas TPU kernel.
+"""Fused, group-interleaved batched complex inverse as a Pallas kernel.
 
 Why this exists: after cpx.solve became the all-matmul block-recursive
 inverse, the solve stage executes ~54 small (<=200) matmuls per matrix as
@@ -7,6 +7,18 @@ in VMEM ~30x over.  This kernel runs the SAME recursion (unpivoted 2x2
 block elimination, Karatsuba products, float32-precision MXU passes)
 entirely in VMEM: HBM traffic per matrix drops to one read of A and one
 write of A^-1.
+
+Grouping: kernel grid steps execute sequentially on the TensorCore, and
+one matrix's recursion is a dependency chain of small matmuls that stalls
+the MXU pipeline (measured 44us/inverse at P=128 however the base case is
+tuned).  Each grid step therefore processes GROUP[P] matrices with every
+primitive emitted stage-by-stage across the group (back-to-back
+independent matmuls): 23us/inverse at P=128/G=8.  The group is bounded by
+the 16MB v5e scoped-vmem limit (~1.1MB live per P=128 matrix).  Because
+production code invokes the solve per cell under jax.vmap -- where
+default pallas batching would pin one matrix per grid step -- the kernel
+is entered through a jax.custom_batching.custom_vmap rule that sees the
+whole batch at vmap time and dispatches the grouped call.
 
 Shape contract: the complex matrix is padded to P in {128, 256} with an
 identity block (inv(diag(A, I)) = diag(inv(A), I)), the kernel inverts the
