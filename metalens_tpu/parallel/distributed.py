@@ -34,6 +34,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import make_mesh
 
 
+def _distributed_client_active() -> bool:
+    """Whether jax.distributed.initialize() has already run -- checked via
+    the distributed service's own state, NOT via jax.process_count():
+    process_count() initializes the XLA backend as a side effect, after
+    which jax.distributed.initialize() permanently refuses to run ("must be
+    called before any JAX calls that might initialise the XLA backend").
+    """
+    try:
+        from jax._src import distributed as _dist
+        return _dist.global_state.client is not None
+    except Exception:   # private API moved: fall back to attempting init
+        return False
+
+
 def init_distributed(coordinator_address=None, num_processes=None,
                      process_id=None, local_device_ids=None):
     """Initialize the multi-host runtime (idempotent).
@@ -43,8 +57,13 @@ def init_distributed(coordinator_address=None, num_processes=None,
     ``coordinator_address='host0:1234'``, ``num_processes``, and this
     host's ``process_id``.  Safe to call when already initialized or when
     running single-process: both cases are no-ops.
+
+    MUST be the first JAX-touching call of the process (standard
+    jax.distributed contract); this function itself touches no
+    backend-initializing API before handing off to
+    ``jax.distributed.initialize`` (pinned by tests/test_distributed.py).
     """
-    if jax.process_count() > 1:
+    if _distributed_client_active():
         return  # already wired up
     if coordinator_address is None and num_processes in (None, 1):
         return  # single process: nothing to do

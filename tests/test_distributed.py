@@ -18,6 +18,28 @@ from metalens_tpu.solver import cpx, orders as ordmod, rcwa
 from metalens_tpu.units import nm
 
 
+def test_init_is_attempted_before_any_backend_init(monkeypatch):
+    """Regression (ADVICE r2): the idempotency guard must not call
+    backend-initializing APIs (process_count/devices) -- doing so makes the
+    subsequent jax.distributed.initialize() unconditionally raise on a real
+    multi-host bring-up.  Pin that a coordinator-address call reaches
+    jax.distributed.initialize without touching either."""
+    import metalens_tpu.parallel.distributed as dist
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+
+    def _backend_poison(*a, **k):
+        raise AssertionError("backend-initializing API called before "
+                             "jax.distributed.initialize")
+    monkeypatch.setattr(jax, "process_count", _backend_poison)
+    monkeypatch.setattr(jax, "devices", _backend_poison)
+    monkeypatch.setattr(jax, "local_devices", _backend_poison)
+    dist.init_distributed("host0:1234", num_processes=2, process_id=0)
+    assert calls and calls[0]["coordinator_address"] == "host0:1234"
+    assert calls[0]["num_processes"] == 2
+
+
 def test_single_process_degenerate_case_is_noop():
     init_distributed()          # no coordinator -> no-op
     assert jax.process_count() == 1
