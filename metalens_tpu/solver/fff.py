@@ -168,7 +168,12 @@ def fff_eps_blocks(orders, grating_period, lateral_period, xyrra,
     inv_bg = cpx.promote(1.0) / cpx.promote(eps_bg)
     E_recip = S * (inv_fill - inv_bg) + cpx.promote(inv_bg) * at_zero
     N = E.shape[0]
-    solve_h = cpx.cho_solve_hermitian if hermitian else cpx.solve
+    # hermitian=False means absorbing/metallic pillars: <<1/eps>> is then
+    # non-Hermitian and may have Re(1/eps) <= 0 diagonals, which voids the
+    # well-conditioned-leading-blocks contract of cpx.solve's unpivoted
+    # route.  Use the pivoted full-embedding LU -- this inverse runs once
+    # per eps build (off the per-slab hot path), so the cost is noise.
+    solve_h = cpx.cho_solve_hermitian if hermitian else cpx.solve_embed
     inv_recip = solve_h(E_recip, cpx.eye(N, E.re.dtype))
     Delta = E - inv_recip
     Pxx, Pxy, Pyy = normal_projector_toeplitz(
