@@ -367,13 +367,26 @@ USE_PALLAS_SOLVE = True
 
 
 def _pallas_eligible(A: C) -> bool:
+    """Route this solve to the TPU Pallas kernel?  Decided from the
+    process-wide default backend plus a best-effort check of
+    jax.default_device -- a trace placed on CPU via
+    ``jax.default_device(cpu_dev)`` on a TPU-default process falls back to
+    the XLA recursion.  Not detectable here: per-call ``jit(...,
+    backend='cpu')`` / explicit device_put placement; for full CPU runs set
+    ``jax.config.update('jax_platforms', 'cpu')`` (what tests/conftest.py
+    does) rather than per-call placement."""
     if not USE_PALLAS_SOLVE or A.re.dtype != jnp.float32:
         return False
     n = A.shape[-1]
     if not (32 < n <= 256):
         return False
     try:
-        return jax.default_backend() != "cpu"
+        if jax.default_backend() == "cpu":
+            return False
+        dd = jax.config.jax_default_device
+        if dd is not None and getattr(dd, "platform", None) == "cpu":
+            return False
+        return True
     except RuntimeError:
         return False
 
