@@ -114,9 +114,16 @@ def _angular_power(fftEx: C, fftEy: C, fftHx: C, fftHy: C, ux_list, uy_list,
     Lphi = cpx.where(on_axis, Ly, Lphi)
 
     Z = nu.Z0 / n_glass
+    # exact 1/uz, matching the reference's divide-then-mask semantics
+    # (nearfield_farfield.py:183-185 divides by uz and sums finite entries
+    # at :74): a grazing bin (uz == 0) yields inf and an evanescent bin
+    # (uz2 < 0) yields nan, both dropped by the finite-entry sum in
+    # farfield_from_nearfield / focal_metrics.  An earlier +1e-5 softening
+    # silently biased exactly the high-|u| bins where a high-NA lens's
+    # power lives (pinned by test_farfield.py::test_high_na_grazing_bins).
     P = ((2 * pi * n_glass / wavelength) ** 2 / (32 * pi ** 2 * Z)
          * (cpx.abs2(Lphi + Ntheta * Z)
-            + cpx.abs2(Ltheta - Nphi * Z))) / (uz + 1e-5)
+            + cpx.abs2(Ltheta - Nphi * Z))) / uz
     # calibration factor: empty aperture must transmit 100%
     # (reference nearfield_farfield.py:188-189)
     return P * 2

@@ -88,6 +88,44 @@ def test_focused_phase_profile_spot():
 
 
 
+def test_high_na_grazing_bins():
+    """|u| -> 1 semantics: exact 1/uz (divide-then-mask, matching reference
+    nearfield_farfield.py:183-185 + the finite-entry sum at :74), NOT a
+    softened 1/(uz+eps).  With constant aperture spectra fftEx = 1,
+    fftHy = h and uy = 0 the transform collapses analytically to
+
+        P(ux) = 2 * k^2/(32 pi^2 Z) * dA^2 * (1 + Z h uz)^2 / uz,
+
+    which pins the grazing bins to 4+ digits (the retired 1e-5 softening
+    is a 1% error at uz = 1e-3).  Grazing (uz = 0) must be inf, evanescent
+    (|u| > 1) must be nan -- both masked out of every power total."""
+    from metalens_tpu.farfield import _angular_power
+    from metalens_tpu.solver import cpx
+
+    uz_probe = 1e-3
+    ux_list = jnp.asarray([0.0, 0.3, np.sqrt(1 - uz_probe ** 2), 1.0, 1.04])
+    uy_list = jnp.asarray([0.0])
+    shape = (len(ux_list), 1)
+    h = NG / nu.Z0          # plane-wave-ish H amplitude (any constant works)
+    one = cpx.from_np(np.ones(shape, np.complex128))
+    zero = cpx.from_np(np.zeros(shape, np.complex128))
+    dxp = dyp = float(LAM / 2.2)
+    P = np.asarray(_angular_power(one, zero, zero, one * h,
+                                  ux_list, uy_list, dxp, dyp, LAM, NG))
+    Z = nu.Z0 / NG
+    dA = dxp * dyp
+    kg = 2 * np.pi * NG / LAM
+    uz = np.sqrt(np.maximum(1 - np.asarray(ux_list) ** 2, 0.0))
+    expect = 2 * kg ** 2 / (32 * np.pi ** 2 * Z) * dA ** 2 \
+        * (1 + Z * h * uz) ** 2 / np.where(uz == 0, np.nan, uz)
+    for i in (0, 1, 2):     # incl. the uz = 1e-3 grazing bin
+        np.testing.assert_allclose(P[i, 0], expect[i], rtol=1e-6)
+    assert np.isposinf(P[3, 0])      # uz == 0: divide gives inf
+    assert np.isnan(P[4, 0])         # |u| > 1: evanescent gives nan
+    # and the public API's totals mask them (finite-entry sum semantics)
+    assert np.isfinite(np.where(np.isfinite(P), P, 0.0).sum())
+
+
 def test_dft_four_step_recursion(monkeypatch):
     """Force the four-step Cooley-Tukey path (normally only above 4096) and
     check it against the direct matmul DFT / numpy."""
