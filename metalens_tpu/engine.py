@@ -86,7 +86,7 @@ def static_solve_config(g, wavelengths, numG):
 def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
                  target_idx: tuple, inphase: tuple, with_grad: bool,
                  small_u: bool = False, fff: bool = False,
-                 hermitian_eps: bool = True):
+                 hermitian_eps: bool = True, batched: bool = False):
     """Build (and cache) the jitted FOM program for a static configuration.
 
     Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p (C), eps_g (C),
@@ -140,6 +140,10 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
 
     if with_grad:
         return jax.jit(jax.value_and_grad(run))
+    if batched:
+        # candidate-geometry batch (derivative-free optimizer probes): vmap
+        # over xyrra only, everything else shared
+        return jax.jit(jax.vmap(run, in_axes=(0,) + (None,) * 10))
     return jax.jit(run)
 
 
@@ -225,6 +229,33 @@ def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
         return fn(jnp.asarray(xyrra, dtype=rdtype), g.grating_period,
                   g.lateral_period, g.cyl_height, *arrays)
     return vg
+
+
+def fom_batch_fn(g, target_wavelength=None, numG: int = 50, terms=None,
+                 taylor_terms: int | None = None, rdtype=None,
+                 fff: bool = True):
+    """Return a function ``xyrra_batch (B, nE, 5) -> fom values (B,)``:
+    the FOM of B candidate geometries of the same cell in ONE device
+    program (vmapped over xyrra, static config shared).
+
+    This is what the derivative-free optimizers dispatch their probes
+    through: a serial coordinate sweep is 2*nE*5 candidate geometries, and
+    over the remote TPU tunnel each separate dispatch+fetch costs orders of
+    magnitude more than the batched solve itself.  Program is cached per
+    (static config, B); callers should keep B fixed across calls (pad) so
+    an optimize run compiles exactly one signature."""
+    rdtype = rdtype or _default_rdtype()
+    orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
+        g, target_wavelength, numG, terms, rdtype)
+    fn = _fom_program(_orders_key(orders), n_slabs,
+                      taylor_terms or taylor, tgt, inph,
+                      False, small_u_ok(g, orders), fff, hermitian,
+                      batched=True)
+    Lx, Ly, h = g.grating_period, g.lateral_period, g.cyl_height
+
+    def run(xyrra_batch):
+        return fn(jnp.asarray(xyrra_batch, dtype=rdtype), Lx, Ly, h, *arrays)
+    return run
 
 
 def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
