@@ -49,7 +49,7 @@ def main():
     if args.gj_base:
         pallas_inv._GJ_BASE = args.gj_base
     if args.group:
-        pallas_inv.GROUP = {128: args.group, 256: args.group}
+        pallas_inv._GROUP_OVERRIDE = args.group
     pallas_inv._HIGH = {"highest": jax.lax.Precision.HIGHEST,
                         "high": jax.lax.Precision.HIGH,
                         "default": jax.lax.Precision.DEFAULT}[args.passes]
@@ -90,7 +90,8 @@ def main():
     print(json.dumps({
         "residual_WA_minus_I": round(resid, 9),
         "impl": ("xla" if args.xla
-                 else f"pallas(gj{args.gj_base or 32},G{args.group or 'auto'})"),
+                 else f"pallas(P{pallas_inv.pad_size(n)},"
+                      f"gj{pallas_inv._GJ_BASE},G{args.group or 'auto'})"),
         "n": n, "batch": B, "depth": args.depth,
         "us_per_inverse": round(per_inst_us, 2),
         "batch_ms": round(best * 1e3, 2)}))

@@ -20,11 +20,14 @@ default pallas batching would pin one matrix per grid step -- the kernel
 is entered through a jax.custom_batching.custom_vmap rule that sees the
 whole batch at vmap time and dispatches the grouped call.
 
-Shape contract: the complex matrix is padded to P in {128, 256} with an
-identity block (inv(diag(A, I)) = diag(inv(A), I)), the kernel inverts the
-padded matrix with a statically unrolled recursion P -> ... -> 32 and an
-unpivoted Gauss-Jordan base case at 32, and the caller slices the top-left
-n x n block back out.  Stability contract is identical to
+Shape contract: the complex matrix is padded up to the nearest usable
+kernel size P (a multiple of 8 whose halving chain down to the
+Gauss-Jordan base stays sublane-aligned -- see pad_size; 112 for the
+production n=100, 224 for the characterize n=200) with an identity block
+(inv(diag(A, I)) = diag(inv(A), I)), the kernel inverts the padded matrix
+with a statically unrolled recursion P -> ... -> base and an unpivoted
+Gauss-Jordan base case, and the caller slices the top-left n x n block
+back out.  Stability contract is identical to
 cpx.inv_blockrec (well-conditioned leading blocks -- the RCWA hot-path
 matrices; pinned in tests/test_pallas_inv.py and test_cpx_solve.py).
 
@@ -48,18 +51,40 @@ import jax.numpy as jnp
 from . import cpx
 from .cpx import C
 
-_GJ_BASE = 32
+# Kernel tuning knobs.  These are DEFAULTS read once per inv_pallas
+# dispatch and threaded through every cached builder as explicit cache-key
+# arguments -- mutating them (bench.py --gj-base, bench_inv_kernel.py
+# --passes/--group) takes effect on the next call instead of silently
+# serving a stale lru-cached kernel (ADVICE r2).
+#
+# The Gauss-Jordan base is 56 so that the tight pad sizes 112 (production
+# n=100) and 224 (characterize n=200) have a legal halving chain; GJ base
+# size itself barely moves the needle (measured gj16/32/64 within 15%).
+_GJ_BASE = 56
 _HIGH = jax.lax.Precision.HIGHEST
+_GROUP_OVERRIDE = None   # int to force matrices-per-grid-step (bench A/Bs)
 
 
-def _dot(a, b):
-    return jnp.dot(a, b, precision=_HIGH,
+def _dot(a, b, prec):
+    return jnp.dot(a, b, precision=prec,
                    preferred_element_type=jnp.float32)
 
 
-def _gj_inverse(ar, ai, n):
-    """Unpivoted Gauss-Jordan inverse of one n x n complex matrix (values,
-    not refs).  n is static and small (32); runs on the VPU.
+def _cmul_multi(As, Bs, prec):
+    """Karatsuba products of G independent pairs, INTERLEAVED: all first
+    passes are emitted back to back, then all seconds, then all thirds.
+    Each matrix's three products form a dependency-free run with the other
+    matrices' -- the MXU pipeline stays fed instead of stalling on one
+    matrix's chain (the measured per-instance floor of the G=1 kernel)."""
+    t1 = [_dot(a[0], b[0], prec) for a, b in zip(As, Bs)]
+    t2 = [_dot(a[1], b[1], prec) for a, b in zip(As, Bs)]
+    t3 = [_dot(a[0] + a[1], b[0] + b[1], prec) for a, b in zip(As, Bs)]
+    return [(x1 - x2, x3 - x1 - x2) for x1, x2, x3 in zip(t1, t2, t3)]
+
+
+def _gj_multi(Ms, n):
+    """G interleaved unpivoted Gauss-Jordan inverses of n x n complex
+    matrices (values, not refs).  n is static and small; runs on the VPU.
 
     The elimination is STATICALLY UNROLLED over the pivot index k, so every
     slice is static (Mosaic has no dynamic_slice of VMEM *values*, but
@@ -73,43 +98,6 @@ def _gj_inverse(ar, ai, n):
     (pivot - 1) s leaves exactly s).  No iota masks, no reductions, no
     loop-carried fori state -- ~3x fewer VPU ops than the masked-reduction
     formulation this replaces (kept in git history)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)).astype(ar.dtype)
-    Mr = jnp.concatenate([ar, eye], axis=1)
-    Mi = jnp.concatenate([ai, jnp.zeros((n, n), ar.dtype)], axis=1)
-    for k in range(n):
-        pr = Mr[k, k]
-        pi = Mi[k, k]
-        d = pr * pr + pi * pi
-        cr = pr / d
-        ci = -pi / d
-        rowr = Mr[k:k + 1, :]
-        rowi = Mi[k:k + 1, :]
-        sr = rowr * cr - rowi * ci          # s = row_k / pivot
-        si = rowr * ci + rowi * cr
-        ek = (rows == k).astype(ar.dtype)
-        gr = Mr[:, k:k + 1] - ek            # f - e_k
-        gi = Mi[:, k:k + 1]
-        Mr = Mr - (gr * sr - gi * si)
-        Mi = Mi - (gr * si + gi * sr)
-    return Mr[:, n:], Mi[:, n:]
-
-
-def _cmul_multi(As, Bs):
-    """Karatsuba products of G independent pairs, INTERLEAVED: all first
-    passes are emitted back to back, then all seconds, then all thirds.
-    Each matrix's three products form a dependency-free run with the other
-    matrices' -- the MXU pipeline stays fed instead of stalling on one
-    matrix's chain (the measured per-instance floor of the G=1 kernel)."""
-    t1 = [_dot(a[0], b[0]) for a, b in zip(As, Bs)]
-    t2 = [_dot(a[1], b[1]) for a, b in zip(As, Bs)]
-    t3 = [_dot(a[0] + a[1], b[0] + b[1]) for a, b in zip(As, Bs)]
-    return [(x1 - x2, x3 - x1 - x2) for x1, x2, x3 in zip(t1, t2, t3)]
-
-
-def _gj_multi(Ms, n):
-    """G interleaved unrolled Gauss-Jordan inverses (see _gj_inverse)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
            == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
@@ -140,25 +128,25 @@ def _gj_multi(Ms, n):
     return [(Mr[:, n:], Mi[:, n:]) for Mr, Mi in augs]
 
 
-def _cinv_multi(As, size):
+def _cinv_multi(As, size, gj_base, prec):
     """Statically unrolled block-recursive inverse of G independent
     matrices (values in VMEM), primitives interleaved across the G."""
-    if size <= _GJ_BASE:
+    if size <= gj_base:
         return _gj_multi(As, size)
     m = size // 2
     A11 = [(ar[:m, :m], ai[:m, :m]) for ar, ai in As]
     A12 = [(ar[:m, m:], ai[:m, m:]) for ar, ai in As]
     A21 = [(ar[m:, :m], ai[m:, :m]) for ar, ai in As]
     A22 = [(ar[m:, m:], ai[m:, m:]) for ar, ai in As]
-    I11 = _cinv_multi(A11, m)
-    W = _cmul_multi(I11, A12)
-    T = _cmul_multi(A21, W)
+    I11 = _cinv_multi(A11, m, gj_base, prec)
+    W = _cmul_multi(I11, A12, prec)
+    T = _cmul_multi(A21, W, prec)
     SI = _cinv_multi([(a[0] - t[0], a[1] - t[1])
-                      for a, t in zip(A22, T)], m)
-    V = _cmul_multi(A21, I11)
-    SiV = _cmul_multi(SI, V)
-    U = _cmul_multi(W, SiV)
-    B12 = _cmul_multi(W, SI)
+                      for a, t in zip(A22, T)], m, gj_base, prec)
+    V = _cmul_multi(A21, I11, prec)
+    SiV = _cmul_multi(SI, V, prec)
+    U = _cmul_multi(W, SiV, prec)
+    B12 = _cmul_multi(W, SI, prec)
     outs = []
     for i11, u, b12, siv, si in zip(I11, U, B12, SiV, SI):
         top_r = jnp.concatenate([i11[0] + u[0], -b12[0]], axis=1)
@@ -170,8 +158,9 @@ def _cinv_multi(As, size):
     return outs
 
 
-def _inv_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, P, G):
-    outs = _cinv_multi([(ar_ref[g], ai_ref[g]) for g in range(G)], P)
+def _inv_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, P, G, gj_base, prec):
+    outs = _cinv_multi([(ar_ref[g], ai_ref[g]) for g in range(G)], P,
+                       gj_base, prec)
     for g, (wr, wi) in enumerate(outs):
         or_ref[g] = wr
         oi_ref[g] = wi
@@ -179,21 +168,32 @@ def _inv_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, P, G):
 
 # matrices per kernel instance (grid step): interleaving G independent
 # recursions hides the small-matmul dependency latency that floors the
-# G=1 kernel at ~44us/inverse (P=128; G=8 measures 23us).  VMEM-bounded:
-# the v5e scoped-vmem limit is 16MB and the recursion's live set is
-# ~1.1MB per P=128 matrix (G=16 OOMs at 17.5MB), ~4.4MB at P=256.
-GROUP = {128: 8, 256: 2}
+# G=1 kernel at ~44us/inverse (P=128; G=8 measures 23us).  The group is
+# VMEM-bounded: the v5e scoped-vmem limit is 16MB and the recursion's
+# live set measures ~1.1MB per P=128 matrix (G=16 OOMs at 17.5MB),
+# scaling with the matrix area -- so the picker scales the budget by
+# (P/128)^2 instead of hardcoding per-size groups.
+_LIVE_MB_P128 = 1.1
+_VMEM_BUDGET_MB = 14.0
+_MAX_GROUP = 16
 
 
-def _pick_group(P: int, B: int) -> int:
-    g = GROUP.get(P, 1)
-    while g > 1 and B % g:
-        g //= 2
+def _pick_group(P: int, B: int, override=None) -> int:
+    if override:
+        g = override
+        while g > 1 and B % g:
+            g //= 2
+        return g
+    live = _LIVE_MB_P128 * (P / 128.0) ** 2
+    g = 1
+    while (g < _MAX_GROUP and 2 * g * live <= _VMEM_BUDGET_MB
+           and B % (2 * g) == 0):
+        g *= 2
     return g
 
 
-@functools.lru_cache(maxsize=16)
-def _build_call(P: int, interpret: bool, G: int = 1):
+@functools.lru_cache(maxsize=32)
+def _build_call(P: int, interpret: bool, G: int, gj_base: int, prec):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -203,7 +203,8 @@ def _build_call(P: int, interpret: bool, G: int = 1):
     def call(ar, ai):
         B = ar.shape[0]
         return pl.pallas_call(
-            functools.partial(_inv_kernel, P=P, G=G),
+            functools.partial(_inv_kernel, P=P, G=G, gj_base=gj_base,
+                              prec=prec),
             grid=(B // G,),
             in_specs=[spec, spec],
             out_specs=[spec, spec],
@@ -216,8 +217,8 @@ def _build_call(P: int, interpret: bool, G: int = 1):
     return call
 
 
-@functools.lru_cache(maxsize=8)
-def _inv_core(P: int, interpret: bool):
+@functools.lru_cache(maxsize=16)
+def _inv_core(P: int, interpret: bool, gj_base: int, prec, group=None):
     """Single-matrix (P, P) inverse with a CUSTOM VMAP RULE: production
     code calls the inverse per cell under jax.vmap, where the default
     pallas batching would lift to a G=1 grid (one matrix per grid step --
@@ -227,7 +228,8 @@ def _inv_core(P: int, interpret: bool):
 
     @custom_batching.custom_vmap
     def core(ar, ai):
-        wr, wi = _build_call(P, interpret, 1)(ar[None], ai[None])
+        wr, wi = _build_call(P, interpret, 1, gj_base, prec)(ar[None],
+                                                             ai[None])
         return wr[0], wi[0]
 
     @core.def_vmap
@@ -236,19 +238,45 @@ def _inv_core(P: int, interpret: bool):
                                                        (axis_size, P, P))
         ai = ai if in_batched[1] else jnp.broadcast_to(ai[None],
                                                        (axis_size, P, P))
-        G = _pick_group(P, axis_size)
-        wr, wi = _build_call(P, interpret, G)(ar, ai)
+        G = _pick_group(P, axis_size, group)
+        wr, wi = _build_call(P, interpret, G, gj_base, prec)(ar, ai)
         return (wr, wi), (True, True)
 
     return core
 
 
-def pad_size(n: int):
-    """Smallest supported padded size, or None if n is out of range."""
-    for P in (128, 256):
-        if n <= P:
-            return P
-    return None
+def _halving_ok(P: int, gj_base: int) -> bool:
+    """A kernel size is usable iff every split in its halving chain down
+    to the Gauss-Jordan base is a multiple of 8 (the f32 sublane): Mosaic
+    rejects block concatenation at offsets that are not sublane-aligned
+    ('result/input offset mismatch'), which rules out arbitrary multiples
+    of 8 like 104 (-> 52 -> 26)."""
+    while P > gj_base:
+        if P % 16:          # the half must be a multiple of 8
+            return False
+        P //= 2
+    return True
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_size(n: int, gj_base: int):
+    if n > 256:
+        return None
+    P = max(32, -(-n // 8) * 8)
+    while not _halving_ok(P, gj_base):
+        P += 8
+    return P
+
+
+def pad_size(n: int, gj_base=None):
+    """Smallest usable padded kernel size >= n, or None if out of range.
+
+    Padding to powers of two only (the first shipped version) wasted 2.1x
+    FLOPs at n=200 (256^3 vs 200^3) and, worse, inflated the VMEM live set
+    that caps the interleave group; with a base of 56 the usable sizes
+    include 112 (for the production n=100) and 224 (for the
+    characterize-grade n=200)."""
+    return _pad_size(n, _GJ_BASE if gj_base is None else gj_base)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -267,7 +295,7 @@ def inv_pallas(A: C, interpret: bool = False) -> C:
             jnp.pad(ar, ((0, 0), (0, 0), (0, P - n))),
             jnp.broadcast_to(eye_tail, (B, P - n, P))], axis=1)
         ai = jnp.pad(ai, ((0, 0), (0, P - n), (0, P - n)))
-    core = _inv_core(P, interpret)
+    core = _inv_core(P, interpret, _GJ_BASE, _HIGH, _GROUP_OVERRIDE)
     if batched:
         wr, wi = jax.vmap(core)(ar, ai)       # rule -> grouped kernel
     else:

@@ -34,7 +34,9 @@ def test_unbatched_and_pad_size():
     A_np = _rand_wellcond(rng, 100)
     W = cpx.to_np(inv_pallas(cpx.from_np(A_np), True))
     assert np.abs(W @ A_np - np.eye(100)).max() < 5e-5
-    assert pad_size(100) == 128 and pad_size(200) == 256
+    assert pad_size(100) == 112 and pad_size(200) == 224
+    assert pad_size(20) == 32 and pad_size(130) == 160
+    assert pad_size(100, gj_base=32) == 128   # power-of-two chain only
     assert pad_size(300) is None
 
 
