@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .grating import Grating, GratingCollection, validate, resize
-from .engine import fom_of_grating, fom_value_and_grad
+from .engine import fom_of_grating, fom_batch_fn, fom_value_and_grad
 from .units import nm, degree, pi, inf
 
 
@@ -37,37 +37,82 @@ from .units import nm, degree, pi, inf
 # parity optimizers (derivative-free)
 # --------------------------------------------------------------------------
 
-def _ratchet_walk(g, direction, fom_now, current_fom, similar_to,
-                  how_similar, verbose, loud_validate=False, max_steps=10):
+class _BatchedProbe:
+    """All candidate-geometry FOM probes of a derivative-free optimize run
+    through ONE cached vmapped device program of FIXED batch size.
+
+    A serial coordinate sweep is 2*nE*5 probe dispatches and each ratchet
+    walk up to 10 more; over the remote TPU tunnel every dispatch+fetch
+    round trip costs orders of magnitude more than the batched solves
+    themselves (CLAUDE.md perf model), so the optimizers below gather their
+    candidates and evaluate them in single dispatches.  Short candidate
+    lists are padded by repetition so every call hits the same compiled
+    signature."""
+
+    def __init__(self, g, target_wavelength, numG, terms, B):
+        self.B = B
+        self._fn = fom_batch_fn(g, target_wavelength=target_wavelength,
+                                numG=numG, terms=terms)
+
+    def __call__(self, candidates):
+        m = len(candidates)
+        assert 0 < m <= self.B
+        batch = np.stack(list(candidates)
+                         + [candidates[-1]] * (self.B - m))
+        return np.asarray(self._fn(batch))[:m]
+
+
+def _ratchet_walk(g, direction, fom_now, probe, similar_to, how_similar,
+                  verbose, loud_validate=False, max_steps=10):
     """Walk ``g.xyrra_list`` along a fixed ``direction`` (full xyrra-shaped
     step), keeping each step only if the geometry stays feasible and the
     FOM does not drop (ties advance -- the reference's acceptance rule).
-    The first rejected step is undone and ends the walk; at most
-    ``max_steps`` steps stick.  Every kept step is standardized and, when
-    ``verbose``, announced as a new record in the reference's
-    spec-roundtrip format.  Returns (fom after the walk, whether any step
-    stuck)."""
-    xyrra = g.xyrra_list          # standardize() mutates in place, so the
-    advanced = False              # alias stays valid across steps
-    for _ in range(max_steps):
-        xyrra += direction
-        if not validate(g, similar_to=similar_to, how_similar=how_similar):
-            xyrra -= direction
+    The first rejected step ends the walk; at most ``max_steps`` steps
+    stick.  Every kept step is standardized and, when ``verbose``,
+    announced as a new record in the reference's spec-roundtrip format.
+    Returns (fom after the walk, whether any step stuck).
+
+    All candidate FOMs of the walk are evaluated in ONE batched dispatch
+    up front; the acceptance ratchet then runs on the host against the
+    precomputed values.  This is exact because standardize() only wraps
+    pillars into the canonical periodic replica, which changes neither the
+    FOM (periodic structure) nor validate() (modular distances) -- so
+    ``start + k*direction`` sees the same physics the serial
+    step/standardize/step path did."""
+    start = g.xyrra_list.copy()
+    scratch = g.copy()
+    cands = []
+    for k in range(1, max_steps + 1):
+        scratch.xyrra_list = start + k * direction
+        if not validate(scratch, similar_to=similar_to,
+                        how_similar=how_similar):
             break
-        fom_stepped = current_fom()
+        cands.append(start + k * direction)
+    if not cands:
+        return fom_now, False
+    foms = probe(cands)
+    kept = 0
+    for k, fom_stepped in enumerate(foms, start=1):
         if fom_stepped < fom_now:
-            xyrra -= direction
             break
+        fom_now = fom_stepped
+        kept = k
+    for k in range(1, kept + 1):
+        g.xyrra_list[...] = start + k * direction
         g.standardize()
         assert validate(g, similar_to=similar_to, how_similar=how_similar,
                         print_details=loud_validate)
         if verbose:
-            print("#New record! ", fom_stepped)
+            print("#New record! ", foms[k - 1])
             print("mygrating=" + repr(g), flush=True)
             print("", flush=True)
-        fom_now = fom_stepped
-        advanced = True
-    return fom_now, advanced
+    return fom_now, kept > 0
+
+
+def _probe_batch_size(g):
+    """One signature serves optimize()'s direction cache (2*nE*5), the
+    ratchet walks (10), and optimize2's attempt chunks."""
+    return max(16, 2 * g.xyrra_list.size)
 
 
 def optimize(mygrating_start, target_wavelength, similar_to=None,
@@ -79,34 +124,64 @@ def optimize(mygrating_start, target_wavelength, similar_to=None,
     makes no progress.  Behavioral parity with the reference's
     derivative-free optimizer (``grating.py:685-745``): same step sizes,
     acceptance rule, per-direction step cap, and stopping criterion.
-    ``subfolder`` is accepted for API parity and ignored (no temp dirs)."""
+    ``subfolder`` is accepted for API parity and ignored (no temp dirs).
+
+    Probe batching: the first steps of ALL 2*nE*5 directions are evaluated
+    in one device dispatch per geometry change, and each winning walk in
+    one more -- a full no-progress sweep (every run's last pass) costs one
+    dispatch instead of 2*nE*5."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     g = mygrating_start.copy()
+    probe = _BatchedProbe(g, target_wavelength, numG, terms,
+                          _probe_batch_size(g))
 
-    def current_fom():
-        return fom_of_grating(g, target_wavelength=target_wavelength,
-                              numG=numG, terms=terms)
-
-    fom_now = current_fom()
+    fom_now = probe([g.xyrra_list])[0]
     if verbose:
         print("fom now...", fom_now, flush=True)
     n_ell, n_par = g.xyrra_list.shape
     coords = [(e, p) for e in range(n_ell) for p in range(n_par)]
+
+    def all_directions():
+        dirs = {}
+        for e, p in coords:
+            size = 0.3 * degree if p == 4 else 1 * nm
+            for signed in (-size, size):
+                d = np.zeros_like(g.xyrra_list)
+                d[e, p] = signed
+                dirs[(e, p, signed > 0)] = d
+        return dirs
+
+    scratch = g.copy()
     stalled = False
+    first_step_fom = None   # invalidated whenever the geometry moves
     while not stalled:
         random.shuffle(coords)
         stalled = True
         for e, p in coords:
             size = 0.3 * degree if p == 4 else 1 * nm
             for signed in (-size, size):
-                direction = np.zeros_like(g.xyrra_list)
-                direction[e, p] = signed
+                if first_step_fom is None:
+                    dirs = all_directions()
+                    keys = list(dirs)
+                    vals = probe([g.xyrra_list + dirs[k] for k in keys])
+                    first_step_fom = dict(zip(keys, vals))
+                direction = dirs[(e, p, signed > 0)]
+                # screen against the cache: same validate-then-fom
+                # acceptance the serial loop applied to the walk's first
+                # step, without a dispatch
+                scratch.xyrra_list = g.xyrra_list + direction
+                if not validate(scratch, similar_to=similar_to,
+                                how_similar=how_similar):
+                    continue
+                if first_step_fom[(e, p, signed > 0)] < fom_now:
+                    continue
                 fom_now, moved = _ratchet_walk(
-                    g, direction, fom_now, current_fom, similar_to,
+                    g, direction, fom_now, probe, similar_to,
                     how_similar, verbose)
                 if moved:
                     stalled = False
+                    first_step_fom = None
                     break    # this direction won; don't probe its opposite
     return g
 
@@ -117,31 +192,57 @@ def optimize2(mygrating_start, target_wavelength, attempts=inf,
     """Random simultaneous perturbation: each attempt draws one uniform
     step for ALL coordinates at once (per-coordinate ceiling 1 nm / 0.1 deg,
     divided by the coordinate count) and ratchets along it.  Behavioral
-    parity with reference ``grating.py:747-795``."""
+    parity with reference ``grating.py:747-795``.
+
+    Probe batching: attempt directions are drawn in chunks (same draw
+    sequence as the serial loop -- attempt i consumes the i-th draw either
+    way) and their first steps screened in one dispatch; only accepted
+    attempts pay a walk dispatch, and a chunk whose geometry went stale
+    after a win is re-screened in one more."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     rng = rng or np.random
     g = mygrating_start.copy()
+    probe = _BatchedProbe(g, target_wavelength, numG, terms,
+                          _probe_batch_size(g))
 
-    def current_fom():
-        return fom_of_grating(g, target_wavelength=target_wavelength,
-                              numG=numG, terms=terms)
-
-    fom_now = current_fom()
+    fom_now = probe([g.xyrra_list])[0]
     if verbose:
         print("fom now...", fom_now, flush=True)
     step_ceiling = np.empty_like(g.xyrra_list)
     step_ceiling[:, 0:4] = 1 * nm
     step_ceiling[:, 4] = 0.1 * degree
     step_ceiling /= g.xyrra_list.size
+
+    scratch = g.copy()
     tried = 0
+    pending = []          # drawn-ahead directions, consumed in draw order
+    pending_fom = []      # their first-step FOMs from the current geometry
     while tried < attempts:
+        if not pending:
+            n_draw = probe.B
+            if attempts != inf:
+                n_draw = min(n_draw, int(attempts) - tried)
+            pending = [step_ceiling
+                       * (2 * rng.random(size=step_ceiling.shape) - 1)
+                       for _ in range(n_draw)]
+            pending_fom = []
+        if not pending_fom:
+            pending_fom = list(probe([g.xyrra_list + d for d in pending]))
+        direction = pending.pop(0)
+        first_fom = pending_fom.pop(0)
         tried += 1
-        direction = step_ceiling * (2 * rng.random(size=step_ceiling.shape)
-                                    - 1)
-        fom_now, _ = _ratchet_walk(g, direction, fom_now, current_fom,
-                                   similar_to, how_similar, verbose,
-                                   loud_validate=True)
+        scratch.xyrra_list = g.xyrra_list + direction
+        if not validate(scratch, similar_to=similar_to,
+                        how_similar=how_similar):
+            continue
+        if first_fom < fom_now:
+            continue
+        fom_now, moved = _ratchet_walk(g, direction, fom_now, probe,
+                                       similar_to, how_similar, verbose,
+                                       loud_validate=True)
+        if moved:
+            pending_fom = []     # geometry moved: re-screen the chunk
     return g
 
 
