@@ -184,7 +184,13 @@ def _pick_group(P: int, B: int, override=None) -> int:
         while g > 1 and B % g:
             g //= 2
         return g
-    live = _LIVE_MB_P128 * (P / 128.0) ** 2
+    # area scaling with a floor at the P=128 value: the compiler-reported
+    # scoped allocation is 17.42MB for G=16 at P=112 and 17.5MB at P=128
+    # (both ~1.09MB/matrix) -- below P~128 the live set bottoms out at the
+    # gj-base augmented temporaries instead of shrinking with the matrix
+    # area, so scaling down from 128 would overfill VMEM (measured OOM,
+    # round 3).
+    live = _LIVE_MB_P128 * max((P / 128.0) ** 2, 1.0)
     g = 1
     while (g < _MAX_GROUP and 2 * g * live <= _VMEM_BUDGET_MB
            and B % (2 * g) == 0):
