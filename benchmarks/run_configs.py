@@ -3,7 +3,12 @@
 
 Each config prints one JSON line with its wall time and headline quantity.
 ``--scale small`` (default) runs reduced problem sizes suitable for smoke
-timing; ``--scale full`` runs production sizes (mm aperture, numG=100).
+timing; ``--scale full`` runs enlarged sizes (config 1: numG=100; configs
+2-3: production numG=50 optimizer settings; configs 4-5: a 20 um-radius
+single-wavelength lens -- an order-of-magnitude pipeline check, NOT the
+production scale).  The actual production-scale run -- 0.5 mm aperture,
+RGB database at numG=100, per-stage wall-clock ledger against the
+1-hour north-star budget -- is ``benchmarks/northstar2.py``.
 
     python benchmarks/run_configs.py                  # all, small
     python benchmarks/run_configs.py --config 3

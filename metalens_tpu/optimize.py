@@ -55,11 +55,14 @@ class _BatchedProbe:
                                 numG=numG, terms=terms)
 
     def __call__(self, candidates):
-        m = len(candidates)
-        assert 0 < m <= self.B
-        batch = np.stack(list(candidates)
-                         + [candidates[-1]] * (self.B - m))
-        return np.asarray(self._fn(batch))[:m]
+        candidates = list(candidates)
+        assert candidates
+        out = []
+        for i in range(0, len(candidates), self.B):
+            chunk = candidates[i:i + self.B]
+            batch = np.stack(chunk + [chunk[-1]] * (self.B - len(chunk)))
+            out.append(np.asarray(self._fn(batch))[:len(chunk)])
+        return np.concatenate(out)
 
 
 def _ratchet_walk(g, direction, fom_now, probe, similar_to, how_similar,
@@ -374,7 +377,8 @@ def optimize_gradient(mygrating_start, target_wavelength, steps: int = 120,
 def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                target_wavelength=None, start_grating_collection=None,
                subfolder=None, numG=50, terms=None, use_gradient=False,
-               optimize2_attempts=200, gradient_steps=120, verbose=True):
+               optimize2_attempts=200, gradient_steps=120, verbose=True,
+               change_each_step=1.01, similarity_each_step=0.03):
     """Geometric continuation building a GratingCollection (reference
     ``grating.py:820-918``): step the period by 1% per iteration, re-seed
     from the previous solution via :func:`resize`, re-optimize under a 3%
@@ -392,6 +396,15 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
     trust region where the ratchet keeps climbing).  The gradient path
     wins for many-pillar cells and large numG where one solve is
     expensive -- choose per workload.
+
+    ``change_each_step`` / ``similarity_each_step`` control the
+    continuation density (reference hardwires 1.01 / 0.03,
+    ``grating.py:838-841``; defaults unchanged).  A full high-NA
+    continuation (8 deg -> 60 deg) is ~184 members at 1% steps; each member
+    is a fresh XLA program signature, so coarser steps (e.g. 1.05 with a
+    proportionally wider 0.15 trust region, ~37 members) trade interpolation
+    density in the collection for a much cheaper design stage --
+    GratingCollection.get_one blends between members either way.
     """
     assert (start_grating_collection is None) != (
         start_grating is None and target_wavelength is None)
@@ -414,8 +427,7 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                 lateral_period=lateral_period,
                 grating_list=[start_grating], lens_type="round")
 
-    change_each_step = 1.01
-    similarity_each_step = 0.03
+    assert change_each_step > 1 and similarity_each_step > 0
 
     while True:
         if verbose:
