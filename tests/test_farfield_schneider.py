@@ -66,8 +66,12 @@ def schneider_power(fftEx, fftEy, fftHx, fftHy, ux_list, uy_list,
 
     Z = nu.Z0 / n_glass
     # |E|^2 / Z (not /2Z): matches the codebase's power convention, and
-    # lands on the calibrated Taflove output with no fudge factor.
-    return (abs(Ex) ** 2 + abs(Ey) ** 2 + abs(Ez) ** 2) / Z / (uz + 1e-5)
+    # lands on the calibrated Taflove output with no fudge factor.  Exact
+    # 1/uz, matching farfield._angular_power's divide-then-mask semantics
+    # (grazing bins -> inf, evanescent -> nan, dropped by the callers'
+    # finite-entry sums).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return (abs(Ex) ** 2 + abs(Ey) ** 2 + abs(Ez) ** 2) / Z / uz
 
 
 def test_taflove_and_schneider_routes_agree():
