@@ -137,6 +137,21 @@ def stage_design(art):
     info = []
     for bi, (lo, hi, npil) in enumerate(BRACKETS):
         tb = time.perf_counter()
+        path = os.path.join(art, f"gc{bi}.npz")
+        if os.path.exists(path):
+            from metalens_tpu.serialization import load
+            gc = load(path)
+            print(f"# bracket {bi}: resumed from {path} "
+                  f"({len(gc.grating_list)} members)", flush=True)
+            foms = [g.fom(target_wavelength=580 * nm, numG=DESIGN_NUMG,
+                          terms=terms) for g in gc.grating_list]
+            info.append({"bracket_deg": [lo, hi], "pillars": npil,
+                         "members": len(gc.grating_list), "resumed": True,
+                         "fom_mean": round(float(np.mean(foms)), 4),
+                         "fom_min": round(float(np.min(foms)), 4),
+                         "wall_s": round(time.perf_counter() - tb, 1)})
+            continue
+        print(f"# bracket {bi}: {lo}-{hi} deg, {npil} pillars", flush=True)
         g0 = _seed_grating(lo - 0.3, npil)   # innermost member sits just
         # below the bracket's low edge so boundary rings interpolate
         # inside the member range
@@ -153,7 +168,9 @@ def stage_design(art):
                         optimize2_attempts=15, verbose=False,
                         change_each_step=CHANGE_EACH_STEP,
                         similarity_each_step=SIMILARITY)
-        save(gc, os.path.join(art, f"gc{bi}.npz"))
+        save(gc, path)
+        print(f"# bracket {bi}: {len(gc.grating_list)} members "
+              f"({time.perf_counter() - tb:.0f}s)", flush=True)
         foms = [g.fom(target_wavelength=580 * nm, numG=DESIGN_NUMG,
                       terms=terms) for g in gc.grating_list]
         info.append({"bracket_deg": [lo, hi], "pillars": npil,
