@@ -193,15 +193,30 @@ def stage_characterize(art):
     t0 = time.perf_counter()
     entries = 0
     for bi in range(len(BRACKETS)):
-        gc = load(os.path.join(art, f"gc{bi}.npz"))
-        gc.characterize(lams, numG=CHAR_NUMG, u_steps=5)
-        save(gc, os.path.join(art, f"gc{bi}_char.npz"))
+        path = os.path.join(art, f"gc{bi}_char.npz")
+        if os.path.exists(path):
+            gc = load(path)
+            print(f"# characterize bracket {bi}: resumed from {path}",
+                  flush=True)
+        else:
+            tb = time.perf_counter()
+            gc = load(os.path.join(art, f"gc{bi}.npz"))
+            gc.characterize(lams, numG=CHAR_NUMG, u_steps=5)
+            save(gc, path)
+            print(f"# characterize bracket {bi}: "
+                  f"{sum(len(g.data) for g in gc.grating_list)} entries "
+                  f"({time.perf_counter() - tb:.0f}s)", flush=True)
         entries += sum(len(g.data) for g in gc.grating_list)
     t_per = time.perf_counter() - t0
-    hgs = HexGridSet(sep=320 * nm, cyl_height=550 * nm, num_entries=16)
-    hgs.characterize(wavelength=lams, numG=CHAR_NUMG, just_normal=False,
-                     u_steps=5)
-    save(hgs, os.path.join(art, "hgs_char.npz"))
+    hgs_path = os.path.join(art, "hgs_char.npz")
+    if os.path.exists(hgs_path):
+        hgs = load(hgs_path)
+        print(f"# characterize center: resumed from {hgs_path}", flush=True)
+    else:
+        hgs = HexGridSet(sep=320 * nm, cyl_height=550 * nm, num_entries=16)
+        hgs.characterize(wavelength=lams, numG=CHAR_NUMG, just_normal=False,
+                         u_steps=5)
+        save(hgs, hgs_path)
     entries += sum(len(g.data) for g in hgs.grating_list)
     _ledger_update("characterize", {
         "wall_s": round(time.perf_counter() - t0, 1),
