@@ -43,6 +43,10 @@ def main():
                     help="disable the fused Pallas inverse kernel (A/B)")
     ap.add_argument("--gj-base", type=int, default=0,
                     help="override the Pallas Gauss-Jordan base size (A/B)")
+    ap.add_argument("--full-smatrix", action="store_true",
+                    help="form all four S blocks instead of the engine "
+                         "programs' s11+s21 subset (A/B of the partial-"
+                         "outputs conversion stars)")
     args = ap.parse_args()
 
     import jax
@@ -78,10 +82,14 @@ def main():
     ux = np.linspace(0.35, 0.55, B).astype(np.float32)
     uy = np.zeros(B, dtype=np.float32)
 
+    outputs = (rcwa.FULL_OUTPUTS if args.full_smatrix
+               else ("s11", "s21"))   # what the engine programs request
+
     def solve_one(xy, ux1, uy1):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
-            n_slabs=n_slabs, taylor_terms=taylor, fff=args.fff)
+            n_slabs=n_slabs, taylor_terms=taylor, fff=args.fff,
+            outputs=outputs)
         c = jnp.zeros((2 * numG, 2), dtype=xy.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + numG, 1].set(1.0)
         return S.s11 @ c, S.s21 @ c

@@ -124,7 +124,8 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
             S, Kx, Ky = rcwa.cell_smatrix_with_eps(
                 orders, E, Lx, Ly, h, eps_g[t], lam[t],
                 ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms,
-                M_blocks=M_blocks, hermitian_eps=hermitian_eps)
+                M_blocks=M_blocks, hermitian_eps=hermitian_eps,
+                outputs=("s11",))   # FOM reads transmission only
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
             c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
@@ -286,7 +287,8 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
             n_slabs=n_slabs, taylor_terms=taylor_terms,
-            eps_small_u=small_u, fff=fff, hermitian_eps=hermitian_eps)
+            eps_small_u=small_u, fff=fff, hermitian_eps=hermitian_eps,
+            outputs=("s11", "s21"))   # forward + reflection only
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         ampf = (S.s11 @ c).T                        # C (2, 2N)

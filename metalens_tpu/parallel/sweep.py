@@ -35,7 +35,8 @@ def _fom_one_cell(orders, n_slabs, taylor_terms, target_idx, inphase,
     for t in range(T):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders, xyrra, Lx, Ly, h, eps_p[t], eps_g[t], lam[t], ux[t], 0.0,
-            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff)
+            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff,
+            outputs=("s11",))
         cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
         cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
@@ -109,7 +110,8 @@ def sharded_characterize_amps(mesh, orders, n_slabs, taylor_terms=12,
     def one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
         S, Kx, Ky = rcwa.cell_smatrix(
             orders_np, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
-            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff)
+            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff,
+            outputs=("s11", "s21"))
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         return (S.s11 @ c).T, (S.s21 @ c).T

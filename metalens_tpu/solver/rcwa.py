@@ -306,40 +306,64 @@ def interface_smatrix(we_top, we_top_inv, we_bot, we_bot_inv) -> SMatrix:
     return SMatrix(*(basis.block_to_dense(x) for x in b))
 
 
-def star_blockdiag_dense(A: BlockSMatrix, B: SMatrix) -> SMatrix:
+FULL_OUTPUTS = ("s11", "s12", "s21", "s22")
+
+
+def star_blockdiag_dense(A: BlockSMatrix, B: SMatrix,
+                         outputs=FULL_OUTPUTS) -> SMatrix:
     """Star product with a diag-block TOP factor (a zero-thickness
     interface): algebraically :func:`redheffer_star` with A densified, but
     the block structure turns five dense matmuls into elementwise block
     scalings and narrows the solve's right-hand side (the dominant star cost
-    is untouched dense algebra on B)."""
+    is untouched dense algebra on B).
+
+    ``outputs`` (static) selects which result blocks to form; skipped blocks
+    are ``None``.  The engine's consumers only ever read ``s11`` (FOM,
+    transmission) and ``s21`` (characterize, reflection) of the final cell
+    S-matrix, so the composite's back-illumination blocks -- and the dense
+    matmuls that build them -- are dead code there."""
     n2 = B.s11.shape[0]
     I = cpx.eye(n2, B.s11.re.dtype)
     A12B21 = _left_bmul(A.s12, B.s21)
     X0 = cpx.solve(I - A12B21, I)
     XA11 = _right_bmul(X0, A.s11)
-    XA12B22 = _right_bmul(X0, A.s12) @ B.s22
-    s11 = B.s11 @ XA11
-    s12 = B.s12 + B.s11 @ XA12B22
-    s21 = basis.block_to_dense(A.s21) + _left_bmul(A.s22, B.s21 @ XA11)
-    s22 = _left_bmul(A.s22, B.s21 @ XA12B22 + B.s22)
+    s11 = B.s11 @ XA11 if "s11" in outputs else None
+    s21 = (basis.block_to_dense(A.s21) + _left_bmul(A.s22, B.s21 @ XA11)
+           if "s21" in outputs else None)
+    s12 = s22 = None
+    if "s12" in outputs or "s22" in outputs:
+        XA12B22 = _right_bmul(X0, A.s12) @ B.s22
+        if "s12" in outputs:
+            s12 = B.s12 + B.s11 @ XA12B22
+        if "s22" in outputs:
+            s22 = _left_bmul(A.s22, B.s21 @ XA12B22 + B.s22)
     return SMatrix(s11, s12, s21, s22)
 
 
-def star_dense_blockdiag(A: SMatrix, B: BlockSMatrix) -> SMatrix:
+def star_dense_blockdiag(A: SMatrix, B: BlockSMatrix,
+                         outputs=FULL_OUTPUTS) -> SMatrix:
     """Star product with a diag-block BOTTOM factor (mirror of
-    :func:`star_blockdiag_dense`)."""
+    :func:`star_blockdiag_dense`, including the ``outputs`` selection --
+    here dropping s12/s22 also halves the solve's right-hand side)."""
     n2 = A.s11.shape[0]
     I = cpx.eye(n2, A.s11.re.dtype)
     A12B21 = _right_bmul(A.s12, B.s21)
-    X = cpx.solve(I - A12B21,
-                  cpx.concatenate([A.s11, _right_bmul(A.s12, B.s22)],
-                                  axis=1))
+    back = "s12" in outputs or "s22" in outputs
+    rhs = (cpx.concatenate([A.s11, _right_bmul(A.s12, B.s22)], axis=1)
+           if back else A.s11)
+    X = cpx.solve(I - A12B21, rhs)
     XA11 = X[:, :n2]
-    XA12B22 = X[:, n2:]
-    s11 = _left_bmul(B.s11, XA11)
-    s12 = basis.block_to_dense(B.s12) + _left_bmul(B.s11, XA12B22)
-    s21 = A.s21 + A.s22 @ _left_bmul(B.s21, XA11)
-    s22 = A.s22 @ (_left_bmul(B.s21, XA12B22) + basis.block_to_dense(B.s22))
+    s11 = _left_bmul(B.s11, XA11) if "s11" in outputs else None
+    s21 = (A.s21 + A.s22 @ _left_bmul(B.s21, XA11)
+           if "s21" in outputs else None)
+    s12 = s22 = None
+    if back:
+        XA12B22 = X[:, n2:]
+        if "s12" in outputs:
+            s12 = basis.block_to_dense(B.s12) + _left_bmul(B.s11, XA12B22)
+        if "s22" in outputs:
+            s22 = A.s22 @ (_left_bmul(B.s21, XA12B22)
+                           + basis.block_to_dense(B.s22))
     return SMatrix(s11, s12, s21, s22)
 
 
@@ -455,7 +479,8 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
                  eps_pillar, eps_glass, wavelength, ux, uy,
                  n_slabs: int, taylor_terms: int = 12,
                  branch_eps: float = 1e-9, eps_small_u: bool = False,
-                 fff: bool = False, hermitian_eps: bool = True):
+                 fff: bool = False, hermitian_eps: bool = True,
+                 outputs=FULL_OUTPUTS):
     """Full air / pillar-layer / glass S-matrix for one unit cell at one
     incidence direction and wavelength.  Ports: top = air plane-wave basis,
     bottom = glass plane-wave basis (exactly S4's GetAmplitudes bases).
@@ -463,6 +488,11 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
     All geometric/physical arguments may be traced (vmap/grad); eps may be
     python complex or C scalars.  ``orders``, ``n_slabs``, ``taylor_terms``
     are static.  Returns (S, Kx, Ky).
+
+    ``outputs`` (static) selects which blocks of the returned S-matrix are
+    formed (see :func:`star_blockdiag_dense`); unrequested blocks are None
+    and their dense matmuls are never emitted.  Values of requested blocks
+    are identical to the full computation (same graph, pinned by tests).
     """
     if fff:
         from .fff import fff_eps_blocks
@@ -480,14 +510,14 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
                                  cyl_height, eps_glass, wavelength, ux, uy,
                                  n_slabs=n_slabs, taylor_terms=taylor_terms,
                                  branch_eps=branch_eps, M_blocks=M_blocks,
-                                 hermitian_eps=hermitian_eps)
+                                 hermitian_eps=hermitian_eps, outputs=outputs)
 
 
 def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
                           cyl_height, eps_glass, wavelength, ux, uy,
                           n_slabs: int, taylor_terms: int = 12,
                           branch_eps: float = 1e-9, M_blocks=None,
-                          hermitian_eps: bool = True):
+                          hermitian_eps: bool = True, outputs=FULL_OUTPUTS):
     """As :func:`cell_smatrix` but with the layer's Toeplitz eps matrix given
     directly (any pattern: ellipses, rectangles, uniform media)."""
     orders = np.asarray(orders)
@@ -520,8 +550,21 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
     S_air_ref = interface_smatrix_blocks(we_a, wei_a, we_r, wei_r)
     S_ref_glass = interface_smatrix_blocks(we_r, wei_r, we_g, wei_g)
 
-    S = star_blockdiag_dense(S_air_ref,
-                             star_dense_blockdiag(S_layer, S_ref_glass))
+    # the outer star's block-by-block dependencies on the inner result:
+    # X0 <- s21 (always); s11 <- s11; s21 <- s21; s12 <- s12, s22;
+    # s22 <- s21, s22
+    inner = {"s21"}
+    if "s11" in outputs:
+        inner.add("s11")
+    if "s12" in outputs or "s22" in outputs:
+        inner.add("s22")
+    if "s12" in outputs:
+        inner.add("s12")
+    S = star_blockdiag_dense(
+        S_air_ref,
+        star_dense_blockdiag(S_layer, S_ref_glass,
+                             outputs=tuple(sorted(inner))),
+        outputs=outputs)
     return S, Kx, Ky
 
 

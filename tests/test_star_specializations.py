@@ -128,3 +128,59 @@ def test_slab_schedule_is_converged():
     f_over = engine.fom_of_grating(g, 580 * nm, numG=25, terms=terms,
                                    taylor_terms=taylor + 14)
     assert abs(f_sched - f_over) < 1e-11
+
+
+def test_partial_outputs_match_full_star():
+    """outputs= on the specialized stars must reproduce exactly the blocks
+    it keeps and return None for the rest (the engine's FOM/characterize
+    programs request only s11 / s11+s21 of the final cell S-matrix)."""
+    rng = np.random.default_rng(7)
+    N, n2 = 6, 12
+    B = rcwa.SMatrix(*(_rnd_dense(rng, n2) for _ in range(4)))
+    Ab = rcwa.BlockSMatrix(*(_rnd_blocks(rng, N) for _ in range(4)))
+    full = rcwa.star_blockdiag_dense(Ab, B)
+    for outputs in [("s11",), ("s11", "s21"), ("s21", "s22"), ("s12",)]:
+        part = rcwa.star_blockdiag_dense(Ab, B, outputs=outputs)
+        for name in rcwa.FULL_OUTPUTS:
+            if name in outputs:
+                assert _maxdiff(getattr(part, name),
+                                getattr(full, name)) == 0.0
+            else:
+                assert getattr(part, name) is None
+    A = rcwa.SMatrix(*(_rnd_dense(rng, n2) for _ in range(4)))
+    Bb = rcwa.BlockSMatrix(*(_rnd_blocks(rng, N) for _ in range(4)))
+    full = rcwa.star_dense_blockdiag(A, Bb)
+    for outputs in [("s11",), ("s11", "s21"), ("s21", "s22"), ("s12",)]:
+        part = rcwa.star_dense_blockdiag(A, Bb, outputs=outputs)
+        for name in rcwa.FULL_OUTPUTS:
+            if name in outputs:
+                # dropping s12/s22 narrows the solve RHS; same linear
+                # system, so bit-equality is not guaranteed -- 1e-14 is
+                assert _maxdiff(getattr(part, name),
+                                getattr(full, name)) < 1e-14
+            else:
+                assert getattr(part, name) is None
+
+
+def test_cell_smatrix_partial_outputs():
+    """cell_smatrix(outputs=...) returns identical s11/s21 to the full
+    solve, with and without the NV factorization."""
+    from metalens_tpu.solver.orders import select_orders
+
+    orders = select_orders(0.48e-6, 0.32e-6, 13)
+    xyrra = np.array([[0.05e-6, -0.02e-6, 0.11e-6, 0.09e-6, 0.4],
+                      [-0.12e-6, 0.07e-6, 0.07e-6, 0.06e-6, -0.2]])
+    args = (orders, xyrra, 0.48e-6, 0.32e-6, 0.55e-6, 5.5 + 0.0j,
+            2.1025 + 0.0j, 0.58e-6, 0.31, 0.07)
+    for fff in (False, True):
+        full, _, _ = rcwa.cell_smatrix(*args, n_slabs=2, taylor_terms=12,
+                                       fff=fff)
+        for outputs in [("s11",), ("s11", "s21")]:
+            part, _, _ = rcwa.cell_smatrix(*args, n_slabs=2,
+                                           taylor_terms=12, fff=fff,
+                                           outputs=outputs)
+            for name in outputs:
+                assert _maxdiff(getattr(part, name),
+                                getattr(full, name)) < 1e-13
+            for name in set(rcwa.FULL_OUTPUTS) - set(outputs):
+                assert getattr(part, name) is None
