@@ -82,17 +82,20 @@ def main():
     ux = np.linspace(0.35, 0.55, B).astype(np.float32)
     uy = np.zeros(B, dtype=np.float32)
 
-    outputs = (rcwa.FULL_OUTPUTS if args.full_smatrix
-               else ("s11", "s21"))   # what the engine programs request
-
     def solve_one(xy, ux1, uy1):
-        S, Kx, Ky = rcwa.cell_smatrix(
-            orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
-            n_slabs=n_slabs, taylor_terms=taylor, fff=args.fff,
-            outputs=outputs)
         c = jnp.zeros((2 * numG, 2), dtype=xy.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + numG, 1].set(1.0)
-        return S.s11 @ c, S.s21 @ c
+        if args.full_smatrix:
+            S, Kx, Ky = rcwa.cell_smatrix(
+                orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
+                n_slabs=n_slabs, taylor_terms=taylor, fff=args.fff)
+            return S.s11 @ c, S.s21 @ c
+        # the production route: amplitude responses without materializing
+        # the composite S-matrix (exactly what the engine programs run)
+        ampf, ampr, _, _ = rcwa.cell_amplitudes(
+            orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1, c,
+            n_slabs=n_slabs, taylor_terms=taylor, fff=args.fff)
+        return ampf, ampr
 
     fn = jax.jit(jax.vmap(solve_one))
 

@@ -121,17 +121,18 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
                 Delta = E - inv_recip
                 Pxx, Pxy, Pyy = P_blocks
                 M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy)
-            S, Kx, Ky = rcwa.cell_smatrix_with_eps(
-                orders, E, Lx, Ly, h, eps_g[t], lam[t],
-                ux[t], 0.0, n_slabs=n_slabs, taylor_terms=taylor_terms,
-                M_blocks=M_blocks, hermitian_eps=hermitian_eps,
-                outputs=("s11",))   # FOM reads transmission only
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
             c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
             c = c.at[i0, 0].set(cy_s).at[i0 + N, 0].set(cx_s)
             c = c.at[i0, 1].set(cy_p).at[i0 + N, 1].set(cx_p)
-            ampf = S.s11 @ c                       # C of shape (2N, 2)
+            # the FOM reads transmission only: apply the outer conversion
+            # star directly to the 2-column incidence (no dense S blocks)
+            ampf, _, Kx, Ky = rcwa.cell_amplitudes_with_eps(
+                orders, E, Lx, Ly, h, eps_g[t], lam[t],
+                ux[t], 0.0, c, n_slabs=n_slabs, taylor_terms=taylor_terms,
+                M_blocks=M_blocks, hermitian_eps=hermitian_eps,
+                want_reflection=False)             # C of shape (2N, 2)
             idx = target_idx[t]
             score = term_score(ampf[idx, 0], ampf[idx + N, 1], ng_now[t],
                                cos_theta[t], inphase[t])
@@ -284,16 +285,15 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
     i0 = ordmod.order_index(orders, 0, 0)
 
     def run_one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
-        S, Kx, Ky = rcwa.cell_smatrix(
-            orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
-            n_slabs=n_slabs, taylor_terms=taylor_terms,
-            eps_small_u=small_u, fff=fff, hermitian_eps=hermitian_eps,
-            outputs=("s11", "s21"))   # forward + reflection only
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
-        ampf = (S.s11 @ c).T                        # C (2, 2N)
-        ampr = (S.s21 @ c).T
-        return ampf, ampr
+        # forward + reflection responses to the 2-column incidence,
+        # without materializing the composite S-matrix
+        ampf, ampr, Kx, Ky = rcwa.cell_amplitudes(
+            orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy, c,
+            n_slabs=n_slabs, taylor_terms=taylor_terms,
+            eps_small_u=small_u, fff=fff, hermitian_eps=hermitian_eps)
+        return ampf.T, ampr.T                       # C (2, 2N)
 
     # batch jointly over (wavelength, ux, uy): eps and lam ride the batch
     # axis so an RGB sweep is a single device program

@@ -33,16 +33,15 @@ def _fom_one_cell(orders, n_slabs, taylor_terms, target_idx, inphase,
     total = 0.0
     wsum = 0.0
     for t in range(T):
-        S, Kx, Ky = rcwa.cell_smatrix(
-            orders, xyrra, Lx, Ly, h, eps_p[t], eps_g[t], lam[t], ux[t], 0.0,
-            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff,
-            outputs=("s11",))
         cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
         cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(cy_s).at[i0 + N, 0].set(cx_s)
         c = c.at[i0, 1].set(cy_p).at[i0 + N, 1].set(cx_p)
-        ampf = S.s11 @ c
+        ampf, _, Kx, Ky = rcwa.cell_amplitudes(
+            orders, xyrra, Lx, Ly, h, eps_p[t], eps_g[t], lam[t], ux[t],
+            0.0, c, n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff,
+            want_reflection=False)
         idx = target_idx[t]
         score = term_score(ampf[idx, 0], ampf[idx + N, 1], ng_now[t],
                            cos_theta[t], inphase[t])
@@ -108,13 +107,12 @@ def sharded_characterize_amps(mesh, orders, n_slabs, taylor_terms=12,
     i0 = ordmod.order_index(orders_np, 0, 0)
 
     def one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
-        S, Kx, Ky = rcwa.cell_smatrix(
-            orders_np, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy,
-            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff,
-            outputs=("s11", "s21"))
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
-        return (S.s11 @ c).T, (S.s21 @ c).T
+        ampf, ampr, _, _ = rcwa.cell_amplitudes(
+            orders_np, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy, c,
+            n_slabs=n_slabs, taylor_terms=taylor_terms, fff=fff)
+        return ampf.T, ampr.T
 
     def per_shard(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
         return jax.vmap(one, in_axes=(0, 0, 0, None, None, None, None, 0, 0)

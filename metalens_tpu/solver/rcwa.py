@@ -513,13 +513,14 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
                                  hermitian_eps=hermitian_eps, outputs=outputs)
 
 
-def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
-                          cyl_height, eps_glass, wavelength, ux, uy,
-                          n_slabs: int, taylor_terms: int = 12,
-                          branch_eps: float = 1e-9, M_blocks=None,
-                          hermitian_eps: bool = True, outputs=FULL_OUTPUTS):
-    """As :func:`cell_smatrix` but with the layer's Toeplitz eps matrix given
-    directly (any pattern: ellipses, rectangles, uniform media)."""
+def _cell_parts(orders, E: C, grating_period, lateral_period,
+                cyl_height, eps_glass, wavelength, ux, uy,
+                n_slabs: int, taylor_terms: int,
+                branch_eps: float, M_blocks, hermitian_eps: bool):
+    """Shared front of the cell solve: the doubled layer S-matrix in the
+    lossy reference basis plus the two zero-thickness conversion interfaces
+    (air | ref at the top face, ref | glass at the bottom; the ref
+    representation cancels exactly in the composition)."""
     orders = np.asarray(orders)
     rdt = E.re.dtype
     mx = jnp.asarray(orders[:, 0], dtype=rdt)
@@ -532,9 +533,6 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
                             branch_eps=branch_eps, M_blocks=M_blocks,
                             hermitian_eps=hermitian_eps)
 
-    # zero-thickness conversion interfaces: air | ref basis at the top face,
-    # ref basis | glass at the bottom face (the ref representation cancels
-    # exactly in the composition)
     Kz_a = basis.kz_norm(Kx, Ky, 1.0, branch_eps)
     Kz_g = basis.kz_norm(Kx, Ky, eps_glass, branch_eps)
     Kz_r = basis.kz_norm(Kx, Ky, EPS_REF, branch_eps)
@@ -549,7 +547,20 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
     wei_r = basis.we_inv_blocks(Kx, Ky, Kz_r, n_r)
     S_air_ref = interface_smatrix_blocks(we_a, wei_a, we_r, wei_r)
     S_ref_glass = interface_smatrix_blocks(we_r, wei_r, we_g, wei_g)
+    return S_layer, S_air_ref, S_ref_glass, Kx, Ky
 
+
+def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
+                          cyl_height, eps_glass, wavelength, ux, uy,
+                          n_slabs: int, taylor_terms: int = 12,
+                          branch_eps: float = 1e-9, M_blocks=None,
+                          hermitian_eps: bool = True, outputs=FULL_OUTPUTS):
+    """As :func:`cell_smatrix` but with the layer's Toeplitz eps matrix given
+    directly (any pattern: ellipses, rectangles, uniform media)."""
+    S_layer, S_air_ref, S_ref_glass, Kx, Ky = _cell_parts(
+        orders, E, grating_period, lateral_period, cyl_height, eps_glass,
+        wavelength, ux, uy, n_slabs, taylor_terms, branch_eps, M_blocks,
+        hermitian_eps)
     # the outer star's block-by-block dependencies on the inner result:
     # X0 <- s21 (always); s11 <- s11; s21 <- s21; s12 <- s12, s22;
     # s22 <- s21, s22
@@ -566,6 +577,74 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
                              outputs=tuple(sorted(inner))),
         outputs=outputs)
     return S, Kx, Ky
+
+
+def cell_amplitudes_with_eps(orders, E: C, grating_period, lateral_period,
+                             cyl_height, eps_glass, wavelength, ux, uy,
+                             c_inc, n_slabs: int, taylor_terms: int = 12,
+                             branch_eps: float = 1e-9, M_blocks=None,
+                             hermitian_eps: bool = True,
+                             want_reflection: bool = True):
+    """Scattered amplitudes ``(s11 @ c_inc, s21 @ c_inc)`` for a fixed
+    incident vector, without materializing the composite S-matrix.
+
+    Algebraically identical to ``scatter_amplitudes(cell_smatrix(...))``
+    (pinned by tests), but because the outer conversion star's result is
+    only ever APPLIED to ``c_inc`` (in practice a 2-sparse zeroth-order
+    incidence, width <= 2), its two remaining dense 2Nx2N matmuls
+    (``B.s11 @ XA11`` and ``B.s21 @ XA11``) collapse to thin
+    matrix-vector products:
+
+        ampf = inner.s11 @ (X0 @ (A.s11 . c)),
+        ampr = A.s21 . c + A.s22 . (inner.s21 @ (X0 @ (A.s11 . c))),
+
+    with ``.`` the per-order diag-block scaling and X0 the outer star's
+    inverse.  ``want_reflection=False`` (the FOM path) skips ampr.
+    Returns (ampf, ampr_or_None, Kx, Ky)."""
+    S_layer, A, S_ref_glass, Kx, Ky = _cell_parts(
+        orders, E, grating_period, lateral_period, cyl_height, eps_glass,
+        wavelength, ux, uy, n_slabs, taylor_terms, branch_eps, M_blocks,
+        hermitian_eps)
+    inner = star_dense_blockdiag(S_layer, S_ref_glass,
+                                 outputs=("s11", "s21"))
+    n2 = inner.s11.shape[0]
+    I = cpx.eye(n2, inner.s11.re.dtype)
+    X0 = cpx.solve(I - _left_bmul(A.s12, inner.s21), I)
+    c = cpx.promote(c_inc)
+    v = X0 @ _left_bmul(A.s11, c)
+    ampf = inner.s11 @ v
+    if not want_reflection:
+        return ampf, None, Kx, Ky
+    ampr = _left_bmul(A.s21, c) + _left_bmul(A.s22, inner.s21 @ v)
+    return ampf, ampr, Kx, Ky
+
+
+def cell_amplitudes(orders, xyrra, grating_period, lateral_period,
+                    cyl_height, eps_pillar, eps_glass, wavelength, ux, uy,
+                    c_inc, n_slabs: int, taylor_terms: int = 12,
+                    branch_eps: float = 1e-9, eps_small_u: bool = False,
+                    fff: bool = False, hermitian_eps: bool = True,
+                    want_reflection: bool = True):
+    """:func:`cell_amplitudes_with_eps` with the eps Toeplitz built from the
+    ellipse list (the :func:`cell_smatrix` front end)."""
+    if fff:
+        from .fff import fff_eps_blocks
+        E, Mxx, Mxy, Myy = fff_eps_blocks(
+            np.asarray(orders), grating_period, lateral_period, xyrra,
+            eps_pillar, small_arg_only=eps_small_u,
+            hermitian=hermitian_eps)
+        M_blocks = (Mxx, Mxy, Myy)
+    else:
+        E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,
+                                   lateral_period, xyrra, eps_pillar,
+                                   small_arg_only=eps_small_u)
+        M_blocks = None
+    return cell_amplitudes_with_eps(
+        orders, E, grating_period, lateral_period, cyl_height, eps_glass,
+        wavelength, ux, uy, c_inc, n_slabs=n_slabs,
+        taylor_terms=taylor_terms, branch_eps=branch_eps,
+        M_blocks=M_blocks, hermitian_eps=hermitian_eps,
+        want_reflection=want_reflection)
 
 
 def scatter_amplitudes(S: SMatrix, c_inc):

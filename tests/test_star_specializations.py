@@ -184,3 +184,35 @@ def test_cell_smatrix_partial_outputs():
                                 getattr(full, name)) < 1e-13
             for name in set(rcwa.FULL_OUTPUTS) - set(outputs):
                 assert getattr(part, name) is None
+
+
+def test_cell_amplitudes_matches_smatrix_route():
+    """cell_amplitudes (the engine's apply-to-incidence route) must equal
+    scatter_amplitudes(cell_smatrix(...)) exactly -- same linear algebra,
+    thin right-hand sides instead of dense block materialization."""
+    import jax.numpy as jnp
+
+    from metalens_tpu.solver import orders as ordmod
+
+    orders = ordmod.select_orders(0.48e-6, 0.32e-6, 13)
+    N = orders.shape[0]
+    i0 = ordmod.order_index(orders, 0, 0)
+    xyrra = np.array([[0.05e-6, -0.02e-6, 0.11e-6, 0.09e-6, 0.4],
+                      [-0.12e-6, 0.07e-6, 0.07e-6, 0.06e-6, -0.2]])
+    args = (orders, xyrra, 0.48e-6, 0.32e-6, 0.55e-6, 5.5 + 0.0j,
+            2.1025 + 0.0j, 0.58e-6, 0.31, 0.07)
+    c = jnp.zeros((2 * N, 2))
+    c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
+    for fff in (False, True):
+        S, _, _ = rcwa.cell_smatrix(*args, n_slabs=2, taylor_terms=12,
+                                    fff=fff)
+        ref_f, ref_r = rcwa.scatter_amplitudes(S, c)
+        ampf, ampr, _, _ = rcwa.cell_amplitudes(*args, c, n_slabs=2,
+                                                taylor_terms=12, fff=fff)
+        assert _maxdiff(ampf, ref_f) < 1e-13
+        assert _maxdiff(ampr, ref_r) < 1e-13
+        ampf2, none_r, _, _ = rcwa.cell_amplitudes(
+            *args, c, n_slabs=2, taylor_terms=12, fff=fff,
+            want_reflection=False)
+        assert none_r is None
+        assert _maxdiff(ampf2, ampf) == 0.0
