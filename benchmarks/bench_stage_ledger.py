@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--variants", default="full,k0,taylor2,laurent,noconv")
+    ap.add_argument("--variants",
+                    default="full,fullsmat,k0,taylor2,laurent,noconv")
     args = ap.parse_args()
 
     import jax
@@ -65,8 +66,16 @@ def main():
     ux = np.linspace(0.35, 0.55, B).astype(np.float32)
     uy = np.zeros(B, dtype=np.float32)
 
-    def make_fn(ns, tay, fff, conv):
+    def make_fn(ns, tay, fff, conv, full_smat=False):
         def solve_one(xy, ux1, uy1):
+            if conv and not full_smat:
+                # production route: thin amplitude responses
+                c = jnp.zeros((2 * numG, 2), dtype=xy.dtype)
+                c = c.at[i0, 0].set(1.0).at[i0 + numG, 1].set(1.0)
+                ampf, ampr, _, _ = rcwa.cell_amplitudes(
+                    orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
+                    c, n_slabs=ns, taylor_terms=tay, fff=fff)
+                return ampf
             if conv:
                 S, _, _ = rcwa.cell_smatrix(
                     orders, xy, LX, LY, H, NT ** 2, NG ** 2, LAM, ux1, uy1,
@@ -92,6 +101,7 @@ def main():
 
     variants = {
         "full": make_fn(n_slabs, taylor, True, True),
+        "fullsmat": make_fn(n_slabs, taylor, True, True, full_smat=True),
         "k0": make_fn(1, taylor, True, True),
         "taylor2": make_fn(n_slabs, 2, True, True),
         "laurent": make_fn(n_slabs, taylor, False, True),
