@@ -232,21 +232,22 @@ def slab_smatrix_in_basis(T, we, we_inv, symmetric: bool = True) -> SMatrix:
 def redheffer_star_self_symmetric(S: SMatrix) -> SMatrix:
     """Star of a MIRROR-SYMMETRIC S-matrix (s11 == s22, s12 == s21) with
     itself -- the doubling step for identical z-uniform slabs.  Symmetry is
-    preserved, so only two of the four output blocks are computed: with
-    X0 = (I - s12^2)^-1 (which commutes with s12, being a function of s12^2),
+    preserved, so only two of the four output blocks are computed, and
+    because X0 = (I - s12^2)^-1 commutes with s12 EXACTLY (it is a rational
+    function of s12^2), the s12 update reuses the solve's single output:
 
-        s11' = s11 X0 s11,   s12' = s12 + s11 X0 s12 s11,
+        Y = X0 s11,   s11' = s11 Y,
+        s12' = s12 + s11 X0 s12 s11 = s12 + s11 (s12 Y),
 
     exactly the general star specialized to A = B = S (pinned against it in
-    tests).  Four matmuls + one solve vs seven + one."""
+    tests).  Four matmuls + one n-wide solve vs the general star's seven +
+    one (and one fewer matmul than the concatenated-RHS form this
+    replaces)."""
     n2 = S.s11.shape[0]
     I = cpx.eye(n2, S.s11.re.dtype)
-    X = cpx.solve(I - S.s12 @ S.s12,
-                  cpx.concatenate([S.s11, S.s12 @ S.s11], axis=1))
-    X11 = X[:, :n2]
-    X12 = X[:, n2:]
-    s11 = S.s11 @ X11
-    s12 = S.s12 + S.s11 @ X12
+    Y = cpx.solve(I - S.s12 @ S.s12, S.s11)
+    s11 = S.s11 @ Y
+    s12 = S.s12 + S.s11 @ (S.s12 @ Y)
     return SMatrix(s11, s12, s12, s11)
 
 
