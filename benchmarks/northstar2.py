@@ -184,6 +184,20 @@ def stage_design(art):
         "rgb_terms_nm": [650, 580, 450], **_hbm_stats()})
 
 
+def _with_tunnel_retry(fn, tries=3, pause_s=90):
+    """The axon remote-compile tunnel occasionally drops a response
+    mid-stream (CLAUDE.md); a pause and a clean retry recovers it."""
+    for attempt in range(tries):
+        try:
+            return fn()
+        except Exception as e:
+            if attempt == tries - 1:
+                raise
+            print(f"# tunnel error ({e}); retrying in {pause_s}s",
+                  flush=True)
+            time.sleep(pause_s)
+
+
 def stage_characterize(art):
     """3-wavelength amplitude DB at numG=100 for periphery + center."""
     from metalens_tpu.hexgrid import HexGridSet
@@ -201,7 +215,8 @@ def stage_characterize(art):
         else:
             tb = time.perf_counter()
             gc = load(os.path.join(art, f"gc{bi}.npz"))
-            gc.characterize(lams, numG=CHAR_NUMG, u_steps=5)
+            _with_tunnel_retry(
+                lambda: gc.characterize(lams, numG=CHAR_NUMG, u_steps=5))
             save(gc, path)
             print(f"# characterize bracket {bi}: "
                   f"{sum(len(g.data) for g in gc.grating_list)} entries "
@@ -214,8 +229,9 @@ def stage_characterize(art):
         print(f"# characterize center: resumed from {hgs_path}", flush=True)
     else:
         hgs = HexGridSet(sep=320 * nm, cyl_height=550 * nm, num_entries=16)
-        hgs.characterize(wavelength=lams, numG=CHAR_NUMG, just_normal=False,
-                         u_steps=5)
+        _with_tunnel_retry(
+            lambda: hgs.characterize(wavelength=lams, numG=CHAR_NUMG,
+                                     just_normal=False, u_steps=5))
         save(hgs, hgs_path)
     entries += sum(len(g.data) for g in hgs.grating_list)
     _ledger_update("characterize", {

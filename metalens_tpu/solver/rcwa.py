@@ -394,7 +394,7 @@ def q2_upper_bound(orders, grating_period, lateral_period, wavelength,
 
 def slab_schedule(k0h_max: float, orders, grating_period, lateral_period,
                   wavelength, eps_max: float, u_max: float = 1.0,
-                  target: float = 9.0, safety: float = 1.05):
+                  target: float = 16.5, safety: float = 1.05):
     """(n_slabs, taylor_terms) pairing for the doubling assembly, sized from
     a tight spectral bound.
 
@@ -404,12 +404,16 @@ def slab_schedule(k0h_max: float, orders, grating_period, lateral_period,
     pillar design domain; ``safety`` folds in another 5%, and the series
     length is sized so even a ~20% rho excursion stays converged).
 
-    ``target`` 9 doubles the per-slab thickness vs the classic 4.5: one
-    fewer star doubling -- the dominant per-solve cost is the doubling
-    solves, not matmuls -- in exchange for a longer shared-power series
-    (cheap matmuls).  T entries reach ~e^9 ~ 8e3, within f32 cancellation
-    headroom (~5e-4 absolute on O(1) S-matrix entries, far under the
-    c64-vs-c128 envelope pinned in tests)."""
+    ``target`` caps the per-slab t*q; the series length is then sized from
+    the ACTUAL per-slab norm, not the cap.  The doubling solves -- not the
+    series matmuls -- dominate per-solve cost, so thicker slabs win as long
+    as accuracy holds.  Cap 16.5 drops one star doubling at both the
+    numG=50 (4->2 slabs) and numG=100 (8->4) production configs vs the
+    round-2 cap of 9, with MEASURED accuracy cost of zero at f32 (2.0e-6
+    amplitude error either way -- large-||Y|| modes are evanescent, so
+    their series is cosh-like with all-positive terms and no cancellation)
+    and <=3e-10 at f64 (bench cell, t*q = 16.2; 9.5e-14 at t*q = 10.5;
+    the cliff is far out: t*q = 32 measures 5e-4, t*q = 42 diverges)."""
     orders = np.asarray(orders)
     kx = orders[:, 0] * wavelength / grating_period
     ky = orders[:, 1] * wavelength / lateral_period
@@ -417,8 +421,9 @@ def slab_schedule(k0h_max: float, orders, grating_period, lateral_period,
     q2 = (kmax * kmax + eps_max) * safety
     n = max(1.0, k0h_max * math.sqrt(q2) / target)
     n_slabs = int(2 ** math.ceil(math.log2(n)))
-    # smallest series length with tail < 1e-12 at ||Y|| = (target^2)*safety
-    y = target * target * safety
+    # smallest series length with tail < 1e-12 at the actual per-slab
+    # ||Y|| (q2 already carries one `safety`; a second covers rho excursion)
+    y = (k0h_max * math.sqrt(q2) / n_slabs) ** 2 * safety
     term, k = y, 1
     while term * y / ((2 * k + 1) * (2 * k + 2)) > 1e-12 or k < 3:
         k += 1

@@ -138,5 +138,11 @@ def test_fff_and_laurent_both_energy_exact():
                                                           1.0)).sum())
         uz = np.sqrt(1 - ux * ux - uy * uy)
         defects[fff] = abs((Pt + Pr) / uz - 1.0)
-    assert defects[False] < 1e-10          # Laurent: exact
-    assert defects[True] < 1e-10           # fff: exact too (symmetrized)
+    # Both factorizations are energy-exact up to the doubling-assembly
+    # cancellation floor: the round-3 slab cap (per-slab t*q up to 16.5,
+    # one fewer star doubling) floors the f64 defect at ~4e-10 here,
+    # independent of the series length (33/40/60 terms all measure
+    # 1.7-4.2e-10; the round-2 cap of 9 measured ~1e-14).  Still 20x
+    # inside the 1e-8 energy invariant (CLAUDE.md).
+    assert defects[False] < 1e-9           # Laurent: exact
+    assert defects[True] < 1e-9            # fff: exact too (symmetrized)
