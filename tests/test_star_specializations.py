@@ -216,3 +216,46 @@ def test_cell_amplitudes_matches_smatrix_route():
             want_reflection=False)
         assert none_r is None
         assert _maxdiff(ampf2, ampf) == 0.0
+
+
+def test_relaxed_slab_cap_counts_and_parity():
+    """The round-3 per-slab cap (16.5) must halve the doubling count at
+    both production bench configs vs the round-2 cap of 9, and the f64
+    amplitudes must match a conservative (4x slabs) schedule to the
+    measured doubling-cancellation floor (~3e-10 at t*q=16.2; see the
+    slab_schedule docstring for the full A/B)."""
+    import jax.numpy as jnp
+    from metalens_tpu.solver import orders as ordmod
+    from metalens_tpu.units import nm
+
+    LX, LY, LAM, H = 1200 * nm, 320 * nm, 580 * nm, 550 * nm
+    NT, NG = 2.372, 1.459
+    XYRRA = np.array([[-215 * nm, 2 * nm, 144 * nm, 111 * nm, 0.0],
+                      [196 * nm, -8 * nm, 100 * nm, 130 * nm, 0.1]])
+    k0h = 2 * math.pi * H / LAM
+
+    counts = {}
+    for numG in (50, 100):
+        orders = ordmod.select_orders(LX, LY, numG)
+        ns, tt = rcwa.slab_schedule(k0h, orders, LX, LY, LAM, NT ** 2)
+        ns9, _ = rcwa.slab_schedule(k0h, orders, LX, LY, LAM, NT ** 2,
+                                    target=9.0)
+        counts[numG] = (ns, ns9)
+        assert ns == ns9 // 2, counts
+    assert counts[50] == (2, 4) and counts[100] == (4, 8)
+
+    numG = 50
+    orders = ordmod.select_orders(LX, LY, numG)
+    i0 = ordmod.order_index(orders, 0, 0)
+    ns, tt = rcwa.slab_schedule(k0h, orders, LX, LY, LAM, NT ** 2)
+
+    def ampf(ns_, tt_):
+        c = jnp.zeros((2 * numG,)).at[i0].set(1.0)
+        a, _, _, _ = rcwa.cell_amplitudes(
+            orders, jnp.asarray(XYRRA), LX, LY, H, NT ** 2, NG ** 2, LAM,
+            0.45, 0.1, c, n_slabs=ns_, taylor_terms=tt_, fff=True)
+        return cpx.to_np(a)
+
+    fast = ampf(ns, tt)
+    conservative = ampf(4 * ns, max(12, tt // 2))
+    assert np.abs(fast - conservative).max() < 3e-9
