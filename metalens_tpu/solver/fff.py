@@ -173,7 +173,12 @@ def fff_eps_blocks(orders, grating_period, lateral_period, xyrra,
     # well-conditioned-leading-blocks contract of cpx.solve's unpivoted
     # route.  Use the pivoted full-embedding LU -- this inverse runs once
     # per eps build (off the per-slab hot path), so the cost is noise.
-    solve_h = cpx.cho_solve_hermitian if hermitian else cpx.solve_embed
+    # hermitian=True (lossless dielectric): <<1/eps>> is Hermitian positive
+    # definite, so every leading block is HPD and the unpivoted cpx.solve
+    # contract holds -- and on TPU it dispatches to the grouped Pallas
+    # inverse, avoiding the Cholesky + triangular solves that run far
+    # below MXU rate (round-3 chip A/B in CLAUDE.md).
+    solve_h = cpx.solve if hermitian else cpx.solve_embed
     inv_recip = solve_h(E_recip, cpx.eye(N, E.re.dtype))
     Delta = E - inv_recip
     Pxx, Pxy, Pyy = normal_projector_toeplitz(

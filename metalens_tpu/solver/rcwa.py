@@ -457,8 +457,13 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
                          f"assembly), got {n_slabs}")
     N = E.shape[0]
     I = cpx.eye(N, E.re.dtype)
-    Einv = (cpx.cho_solve_hermitian(E, I) if hermitian_eps
-            else cpx.solve(E, I))
+    # E Hermitian positive definite for lossless dielectrics: the unpivoted
+    # cpx.solve contract holds (HPD leading blocks), and on TPU it routes
+    # to the grouped Pallas inverse instead of Cholesky + triangular
+    # solves (round-3 chip A/B; the round-2 "cho stays" note predates the
+    # grouped kernel).  Non-Hermitian (absorbing) eps also uses cpx.solve,
+    # as before.
+    Einv = cpx.solve(E, I)
     F, G = build_FG(E, Einv, Kx, Ky, M_blocks)
     t = k0h / n_slabs
     T = thin_slab_T_blocks(F, G, t, taylor_terms)
