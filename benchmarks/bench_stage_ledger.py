@@ -66,6 +66,19 @@ def main():
     ux = np.linspace(0.35, 0.55, B).astype(np.float32)
     uy = np.zeros(B, dtype=np.float32)
 
+    def make_eps_fn():
+        """Leaf variant: ONLY the fff eps-block build (Toeplitz + NV
+        projector), with a thin product fetched so nothing is DCE'd."""
+        from metalens_tpu.solver.fff import fff_eps_blocks
+
+        def eps_one(xy, ux1, uy1):
+            E, Mxx, Mxy, Myy = fff_eps_blocks(
+                np.asarray(orders), LX, LY, xy, NT ** 2)
+            v = jnp.zeros((numG, 2), dtype=xy.dtype).at[i0, 0].set(1.0)
+            v = v.at[(i0 + 1) % numG, 1].set(ux1 * 0 + 1.0)
+            return E @ v + Mxx @ v + Mxy @ v + Myy @ v
+        return jax.jit(jax.vmap(eps_one))
+
     def make_fn(ns, tay, fff, conv, full_smat=False):
         def solve_one(xy, ux1, uy1):
             if conv and not full_smat:
@@ -106,6 +119,7 @@ def main():
         "taylor2": make_fn(n_slabs, 2, True, True),
         "laurent": make_fn(n_slabs, taylor, False, True),
         "noconv": make_fn(n_slabs, taylor, False, False),
+        "epsonly": make_eps_fn(),
     }
 
     xyrra_d, ux_d, uy_d = map(jnp.asarray, (xyrra, ux, uy))
