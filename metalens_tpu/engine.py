@@ -276,29 +276,64 @@ def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
 @functools.lru_cache(maxsize=256)
 def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
                           small_u: bool = False, fff: bool = False,
-                          hermitian_eps: bool = True):
-    """Jitted sweep kernel, vmapped over the incidence batch:
-    (xyrra, Lx, Ly, h, eps_p (C), eps_g (C), lam, ux[B], uy[B])
-    -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis 0='y', 1='x' incidence."""
+                          hermitian_eps: bool = True, n_dir: int = 1):
+    """Jitted sweep kernel over the joint (wavelength x direction) batch:
+    (xyrra, Lx, Ly, h, eps_p_u (C[n_lam]), eps_g (C[B]), lam[B], ux[B],
+    uy[B]) -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis 0='y', 1='x'
+    incidence; B = n_lam * n_dir, wavelength-major.
+
+    The eps Toeplitz / NV-projector build and the E inverse depend only on
+    (geometry, wavelength) -- NOT on the incidence direction -- so they are
+    built once per wavelength (``eps_p_u`` holds the n_lam = B/n_dir unique
+    pillar permittivities) and broadcast across the ``n_dir`` directions.
+    For the u_steps=5 grid that removes ~24/25 of the eps-stage cost,
+    which the round-3 epsonly stage ledger measured at 47 ms of a 260 ms
+    numG=100 batch."""
     orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
     N = orders.shape[0]
     i0 = ordmod.order_index(orders, 0, 0)
 
-    def run_one(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy):
+    def build_eps(xyrra, Lx, Ly, eps_p):
+        if fff:
+            from .solver.fff import fff_eps_blocks
+            E, Mxx, Mxy, Myy = fff_eps_blocks(
+                orders, Lx, Ly, xyrra, eps_p, small_arg_only=small_u,
+                hermitian=hermitian_eps)
+            M_blocks = (Mxx, Mxy, Myy)
+        else:
+            from .solver.epsilon import ellipse_layer_toeplitz
+            E = ellipse_layer_toeplitz(orders, Lx, Ly, xyrra, eps_p,
+                                       small_arg_only=small_u)
+            M_blocks = ()
+        Einv = cpx.solve(E, cpx.eye(N, E.re.dtype))
+        return E, Einv, M_blocks
+
+    def run_one(xyrra, Lx, Ly, h, E, Einv, M_blocks, eps_g, lam, ux, uy):
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         # forward + reflection responses to the 2-column incidence,
         # without materializing the composite S-matrix
-        ampf, ampr, Kx, Ky = rcwa.cell_amplitudes(
-            orders, xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, uy, c,
+        ampf, ampr, Kx, Ky = rcwa.cell_amplitudes_with_eps(
+            orders, E, Lx, Ly, h, eps_g, lam, ux, uy, c,
             n_slabs=n_slabs, taylor_terms=taylor_terms,
-            eps_small_u=small_u, fff=fff, hermitian_eps=hermitian_eps)
+            M_blocks=M_blocks or None, hermitian_eps=hermitian_eps,
+            Einv=Einv)
         return ampf.T, ampr.T                       # C (2, 2N)
 
-    # batch jointly over (wavelength, ux, uy): eps and lam ride the batch
-    # axis so an RGB sweep is a single device program
-    batched = jax.vmap(run_one,
-                       in_axes=(None, None, None, None, 0, 0, 0, 0, 0))
+    def batched(xyrra, Lx, Ly, h, eps_p_u, eps_g, lam, ux, uy):
+        eps_u = jax.vmap(build_eps,
+                         in_axes=(None, None, None, 0))(xyrra, Lx, Ly,
+                                                        eps_p_u)
+        # wavelength-major flat batch: repeat each wavelength's eps blocks
+        # across its n_dir directions
+        eps_flat = jax.tree.map(lambda a: jnp.repeat(a, n_dir, axis=0),
+                                eps_u)
+        E, Einv, M_blocks = eps_flat
+        return jax.vmap(run_one,
+                        in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0,
+                                 0))(xyrra, Lx, Ly, h, E, Einv, M_blocks,
+                                     eps_g, lam, ux, uy)
+
     return jax.jit(batched)
 
 
@@ -325,9 +360,6 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
                    else list(wavelength))
     orders, n_slabs, taylor, hermitian = static_solve_config(
         g, wavelengths, numG)
-    fn = _characterize_program(_orders_key(orders), n_slabs,
-                               taylor_terms or taylor,
-                               small_u_ok(g, orders), fff, hermitian)
     N = orders.shape[0]
 
     if u_steps == 1:
@@ -341,17 +373,23 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     inside = ux_grid ** 2 + uy_grid ** 2 < 1.0
     ux_grid, uy_grid = ux_grid[inside], uy_grid[inside]
 
-    # joint (wavelength x direction) batch: one device sweep fills an RGB
-    # database
-    lam_flat, ux_flat, uy_flat, epsp_flat, epsg_flat, ng_flat = \
+    # joint (wavelength x direction) batch, wavelength-major: one device
+    # sweep fills an RGB database; eps_p is passed per UNIQUE wavelength
+    # (the program builds the u-independent eps blocks once per wavelength)
+    n_dir = len(ux_grid)
+    fn = _characterize_program(_orders_key(orders), n_slabs,
+                               taylor_terms or taylor,
+                               small_u_ok(g, orders), fff, hermitian,
+                               n_dir)
+    lam_flat, ux_flat, uy_flat, epsp_u, epsg_flat, ng_flat = \
         [], [], [], [], [], []
     for lam in wavelengths:
         ng, nt = resolve_indices(g.n_glass, g.n_tio2, lam)
-        for b in range(len(ux_grid)):
+        epsp_u.append(complex(nt) ** 2)
+        for b in range(n_dir):
             lam_flat.append(lam)
             ux_flat.append(ux_grid[b])
             uy_flat.append(uy_grid[b])
-            epsp_flat.append(complex(nt) ** 2)
             epsg_flat.append(complex(ng) ** 2)
             ng_flat.append(float(np.real(ng)))
     ux_flat = np.asarray(ux_flat)
@@ -360,7 +398,7 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
 
     ampf_c, ampr_c = fn(jnp.asarray(g.xyrra_list, rdtype), g.grating_period,
                         g.lateral_period, g.cyl_height,
-                        cpx.from_np(np.asarray(epsp_flat)).astype(rdtype),
+                        cpx.from_np(np.asarray(epsp_u)).astype(rdtype),
                         cpx.from_np(np.asarray(epsg_flat)).astype(rdtype),
                         jnp.asarray(lam_flat, rdtype),
                         jnp.asarray(ux_flat, rdtype),

@@ -444,7 +444,8 @@ EPS_REF = 1.5 + 1.0j
 
 def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
                   eps_ref=EPS_REF, branch_eps: float = 1e-9,
-                  M_blocks=None, hermitian_eps: bool = True) -> SMatrix:
+                  M_blocks=None, hermitian_eps: bool = True,
+                  Einv: C | None = None) -> SMatrix:
     """S-matrix of the patterned layer of normalized thickness ``k0h``,
     expressed in the plane-wave basis of the ``eps_ref`` reference medium on
     both faces (convert with :func:`interface_smatrix` to physical bases).
@@ -462,8 +463,10 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
     # to the grouped Pallas inverse instead of Cholesky + triangular
     # solves (round-3 chip A/B; the round-2 "cho stays" note predates the
     # grouped kernel).  Non-Hermitian (absorbing) eps also uses cpx.solve,
-    # as before.
-    Einv = cpx.solve(E, I)
+    # as before.  A caller sweeping many incidence directions over one
+    # geometry can pass a precomputed Einv (it is u-independent).
+    if Einv is None:
+        Einv = cpx.solve(E, I)
     F, G = build_FG(E, Einv, Kx, Ky, M_blocks)
     t = k0h / n_slabs
     T = thin_slab_T_blocks(F, G, t, taylor_terms)
@@ -527,7 +530,8 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
 def _cell_parts(orders, E: C, grating_period, lateral_period,
                 cyl_height, eps_glass, wavelength, ux, uy,
                 n_slabs: int, taylor_terms: int,
-                branch_eps: float, M_blocks, hermitian_eps: bool):
+                branch_eps: float, M_blocks, hermitian_eps: bool,
+                Einv: C | None = None):
     """Shared front of the cell solve: the doubled layer S-matrix in the
     lossy reference basis plus the two zero-thickness conversion interfaces
     (air | ref at the top face, ref | glass at the bottom; the ref
@@ -542,7 +546,7 @@ def _cell_parts(orders, E: C, grating_period, lateral_period,
     k0h = TWO_PI * cyl_height / wavelength
     S_layer = layer_smatrix(E, Kx, Ky, k0h, n_slabs, taylor_terms,
                             branch_eps=branch_eps, M_blocks=M_blocks,
-                            hermitian_eps=hermitian_eps)
+                            hermitian_eps=hermitian_eps, Einv=Einv)
 
     Kz_a = basis.kz_norm(Kx, Ky, 1.0, branch_eps)
     Kz_g = basis.kz_norm(Kx, Ky, eps_glass, branch_eps)
@@ -595,7 +599,8 @@ def cell_amplitudes_with_eps(orders, E: C, grating_period, lateral_period,
                              c_inc, n_slabs: int, taylor_terms: int = 12,
                              branch_eps: float = 1e-9, M_blocks=None,
                              hermitian_eps: bool = True,
-                             want_reflection: bool = True):
+                             want_reflection: bool = True,
+                             Einv: C | None = None):
     """Scattered amplitudes ``(s11 @ c_inc, s21 @ c_inc)`` for a fixed
     incident vector, without materializing the composite S-matrix.
 
@@ -615,7 +620,7 @@ def cell_amplitudes_with_eps(orders, E: C, grating_period, lateral_period,
     S_layer, A, S_ref_glass, Kx, Ky = _cell_parts(
         orders, E, grating_period, lateral_period, cyl_height, eps_glass,
         wavelength, ux, uy, n_slabs, taylor_terms, branch_eps, M_blocks,
-        hermitian_eps)
+        hermitian_eps, Einv=Einv)
     inner = star_dense_blockdiag(S_layer, S_ref_glass,
                                  outputs=("s11", "s21"))
     n2 = inner.s11.shape[0]
