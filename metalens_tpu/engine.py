@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from .materials import resolve_indices
 from .solver import basis, cpx, orders as ordmod, rcwa
 from .solver.cpx import C
-from .solver.epsilon import ellipse_structure_toeplitz, toeplitz_from_structure
+from .solver.epsilon import toeplitz_from_structure
 from .solver.fom import FomTerm, DEFAULT_FOM_TERMS, term_score
 from .units import nm, pi
 
@@ -53,10 +53,6 @@ def small_u_ok(g, orders) -> bool:
 
 def _default_rdtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-
-
-def _orders_key(orders):
-    return tuple(map(tuple, np.asarray(orders).tolist()))
 
 
 def static_solve_config(g, wavelengths, numG):
@@ -83,30 +79,38 @@ def static_solve_config(g, wavelengths, numG):
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
-                 target_idx: tuple, inphase: tuple, with_grad: bool,
+def _fom_program(N: int, Dx: int, Dy: int, n_slabs: int, taylor_terms: int,
+                 inphase: tuple, with_grad: bool,
                  small_u: bool = False, fff: bool = False,
                  hermitian_eps: bool = True, batched: bool = False):
     """Build (and cache) the jitted FOM program for a static configuration.
 
-    Traced args: xyrra, Lx, Ly, h, and per-term arrays eps_p (C), eps_g (C),
-    lam, ux, n_glass_now, cos_theta, weights.  The geometry structure matrix
-    (lambda-independent) is computed once and shared by all terms.
+    The order set is a TRACED input (mx, my int32 vectors, the (0,0) index
+    i0, and the per-term target indices), with only its SIZE and the dense
+    difference-grid bounds (Dx, Dy) static -- so one compiled program
+    serves every member of a vary_angle/optimize chain (each member's
+    period shifts the selected order set, which previously baked a fresh
+    ~30s remote compile per member: the dominant cost of the NS2 design
+    stage).  Other traced args: xyrra, Lx, Ly, h, and per-term arrays
+    eps_p (C), eps_g (C), lam, ux, n_glass_now, cos_theta, weights.  The
+    geometry structure matrix (lambda-independent) is computed once and
+    shared by all terms.
     """
-    orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
-    N = orders.shape[0]
-    i0 = ordmod.order_index(orders, 0, 0)
-    T = len(target_idx)
+    from .solver.epsilon import ellipse_structure_toeplitz_traced
+    T = len(inphase)
 
-    def run(xyrra, Lx, Ly, h, eps_p, eps_g, lam, ux, ng_now, cos_theta,
-            weights):
+    def run(xyrra, mx, my, i0, tgt, Lx, Ly, h, eps_p, eps_g, lam, ux,
+            ng_now, cos_theta, weights):
         total = 0.0
         wsum = 0.0
-        S_struct, at_zero = ellipse_structure_toeplitz(
-            orders, Lx, Ly, xyrra, small_arg_only=small_u)
+        orders_j = jnp.stack([mx, my], axis=1)
+        S_struct, at_zero = ellipse_structure_toeplitz_traced(
+            mx, my, Dx, Dy, Lx, Ly, xyrra, small_arg_only=small_u)
         if fff:
-            from .solver.fff import normal_projector_toeplitz, nv_blocks
-            P_blocks = normal_projector_toeplitz(orders, Lx, Ly, xyrra)
+            from .solver.fff import normal_projector_toeplitz_traced, \
+                nv_blocks
+            P_blocks = normal_projector_toeplitz_traced(mx, my, Dx, Dy,
+                                                        Lx, Ly, xyrra)
         for t in range(T):
             E = toeplitz_from_structure(S_struct, at_zero, eps_p[t])
             M_blocks = None
@@ -114,8 +118,11 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
                 E_recip = (S_struct * (cpx.promote(1.0) / eps_p[t]
                                        - cpx.promote(1.0))
                            + cpx.promote(1.0) * at_zero)
-                solve_h = (cpx.cho_solve_hermitian if hermitian_eps
-                           else cpx.solve)
+                # HPD for lossless dielectrics -> unpivoted cpx.solve is
+                # valid and routes to the grouped Pallas inverse on TPU
+                # (round-3 chip A/B vs cho_solve); absorbing eps needs the
+                # pivoted embedding, as in fff.fff_eps_blocks
+                solve_h = cpx.solve if hermitian_eps else cpx.solve_embed
                 inv_recip = solve_h(E_recip,
                                     cpx.eye(E.shape[0], E.re.dtype))
                 Delta = E - inv_recip
@@ -129,11 +136,11 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
             # the FOM reads transmission only: apply the outer conversion
             # star directly to the 2-column incidence (no dense S blocks)
             ampf, _, Kx, Ky = rcwa.cell_amplitudes_with_eps(
-                orders, E, Lx, Ly, h, eps_g[t], lam[t],
+                orders_j, E, Lx, Ly, h, eps_g[t], lam[t],
                 ux[t], 0.0, c, n_slabs=n_slabs, taylor_terms=taylor_terms,
                 M_blocks=M_blocks, hermitian_eps=hermitian_eps,
                 want_reflection=False)             # C of shape (2N, 2)
-            idx = target_idx[t]
+            idx = tgt[t]
             score = term_score(ampf[idx, 0], ampf[idx + N, 1], ng_now[t],
                                cos_theta[t], inphase[t])
             total = total + weights[t] * score
@@ -145,8 +152,26 @@ def _fom_program(orders_key, n_slabs: int, taylor_terms: int,
     if batched:
         # candidate-geometry batch (derivative-free optimizer probes): vmap
         # over xyrra only, everything else shared
-        return jax.jit(jax.vmap(run, in_axes=(0,) + (None,) * 10))
+        return jax.jit(jax.vmap(run, in_axes=(0,) + (None,) * 14))
     return jax.jit(run)
+
+
+def _order_bounds(orders):
+    """Quantized static bounds (Dx, Dy) on the order-difference ranges,
+    rounded up so neighbouring members of a design chain land on the SAME
+    program cache key."""
+    o = np.asarray(orders)
+    dx = int(o[:, 0].max() - o[:, 0].min())
+    dy = int(o[:, 1].max() - o[:, 1].min())
+    Dx = int(math.ceil((dx + 1) / 16.0) * 16)
+    Dy = int(math.ceil((dy + 1) / 4.0) * 4)
+    return Dx, Dy
+
+
+def _traced_order_args(orders):
+    o = np.asarray(orders)
+    return (jnp.asarray(o[:, 0], jnp.int32), jnp.asarray(o[:, 1], jnp.int32),
+            jnp.asarray(ordmod.order_index(o, 0, 0), jnp.int32))
 
 
 def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
@@ -204,12 +229,15 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
-    fn = _fom_program(_orders_key(orders), n_slabs,
-                      taylor_terms or taylor, tgt, inph,
+    Dx, Dy = _order_bounds(orders)
+    fn = _fom_program(len(orders), Dx, Dy, n_slabs,
+                      taylor_terms or taylor, inph,
                       False, small_u_ok(g, orders), fff, hermitian)
     xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list,
                      dtype=rdtype)
-    val = fn(xy, g.grating_period, g.lateral_period, g.cyl_height, *arrays)
+    omx, omy, i0 = _traced_order_args(orders)
+    val = fn(xy, omx, omy, i0, jnp.asarray(tgt, jnp.int32),
+             g.grating_period, g.lateral_period, g.cyl_height, *arrays)
     return float(val)
 
 
@@ -223,13 +251,16 @@ def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
-    fn = _fom_program(_orders_key(orders), n_slabs,
-                      taylor_terms or taylor, tgt, inph,
+    Dx, Dy = _order_bounds(orders)
+    fn = _fom_program(len(orders), Dx, Dy, n_slabs,
+                      taylor_terms or taylor, inph,
                       True, small_u_ok(g, orders), fff, hermitian)
+    omx, omy, i0 = _traced_order_args(orders)
+    tgt_j = jnp.asarray(tgt, jnp.int32)
 
     def vg(xyrra):
-        return fn(jnp.asarray(xyrra, dtype=rdtype), g.grating_period,
-                  g.lateral_period, g.cyl_height, *arrays)
+        return fn(jnp.asarray(xyrra, dtype=rdtype), omx, omy, i0, tgt_j,
+                  g.grating_period, g.lateral_period, g.cyl_height, *arrays)
     return vg
 
 
@@ -249,14 +280,18 @@ def fom_batch_fn(g, target_wavelength=None, numG: int = 50, terms=None,
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
-    fn = _fom_program(_orders_key(orders), n_slabs,
-                      taylor_terms or taylor, tgt, inph,
+    Dx, Dy = _order_bounds(orders)
+    fn = _fom_program(len(orders), Dx, Dy, n_slabs,
+                      taylor_terms or taylor, inph,
                       False, small_u_ok(g, orders), fff, hermitian,
                       batched=True)
+    omx, omy, i0 = _traced_order_args(orders)
+    tgt_j = jnp.asarray(tgt, jnp.int32)
     Lx, Ly, h = g.grating_period, g.lateral_period, g.cyl_height
 
     def run(xyrra_batch):
-        return fn(jnp.asarray(xyrra_batch, dtype=rdtype), Lx, Ly, h, *arrays)
+        return fn(jnp.asarray(xyrra_batch, dtype=rdtype), omx, omy, i0,
+                  tgt_j, Lx, Ly, h, *arrays)
     return run
 
 
@@ -274,13 +309,19 @@ def fom_of_gratings(gratings, target_wavelength=None, numG: int = 100,
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=256)
-def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
-                          small_u: bool = False, fff: bool = False,
-                          hermitian_eps: bool = True, n_dir: int = 1):
+def _characterize_program(N: int, Dx: int, Dy: int, n_slabs: int,
+                          taylor_terms: int, small_u: bool = False,
+                          fff: bool = False, hermitian_eps: bool = True,
+                          n_dir: int = 1):
     """Jitted sweep kernel over the joint (wavelength x direction) batch:
-    (xyrra, Lx, Ly, h, eps_p_u (C[n_lam]), eps_g (C[B]), lam[B], ux[B],
-    uy[B]) -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis 0='y', 1='x'
-    incidence; B = n_lam * n_dir, wavelength-major.
+    (xyrra, mx, my, i0, Lx, Ly, h, eps_p_u (C[n_lam]), eps_g (C[B]),
+    lam[B], ux[B], uy[B]) -> (ampf C[B,2,2N], ampr C[B,2,2N]); pol axis
+    0='y', 1='x' incidence; B = n_lam * n_dir, wavelength-major.
+
+    The order set is TRACED (mx, my, i0; see _fom_program) so one compiled
+    program characterizes every member of a collection -- previously each
+    member's order set baked a fresh ~30s remote compile, the bulk of a
+    collection characterize over the dev tunnel.
 
     The eps Toeplitz / NV-projector build and the E inverse depend only on
     (geometry, wavelength) -- NOT on the incidence direction -- so they are
@@ -289,50 +330,60 @@ def _characterize_program(orders_key, n_slabs: int, taylor_terms: int,
     For the u_steps=5 grid that removes ~24/25 of the eps-stage cost,
     which the round-3 epsonly stage ledger measured at 47 ms of a 260 ms
     numG=100 batch."""
-    orders = np.asarray(orders_key, dtype=np.int32).reshape(-1, 2)
-    N = orders.shape[0]
-    i0 = ordmod.order_index(orders, 0, 0)
+    from .solver.epsilon import ellipse_structure_toeplitz_traced, \
+        toeplitz_from_structure
 
-    def build_eps(xyrra, Lx, Ly, eps_p):
+    def build_eps(xyrra, mx, my, Lx, Ly, eps_p):
+        S_struct, at_zero = ellipse_structure_toeplitz_traced(
+            mx, my, Dx, Dy, Lx, Ly, xyrra, small_arg_only=small_u)
+        E = toeplitz_from_structure(S_struct, at_zero, eps_p)
         if fff:
-            from .solver.fff import fff_eps_blocks
-            E, Mxx, Mxy, Myy = fff_eps_blocks(
-                orders, Lx, Ly, xyrra, eps_p, small_arg_only=small_u,
-                hermitian=hermitian_eps)
-            M_blocks = (Mxx, Mxy, Myy)
+            from .solver.fff import normal_projector_toeplitz_traced, \
+                nv_blocks
+            # <<1/eps>> against the eps_bg=1 background, as in
+            # fff.fff_eps_blocks
+            E_recip = (S_struct * (cpx.promote(1.0) / eps_p
+                                   - cpx.promote(1.0))
+                       + cpx.promote(1.0) * at_zero)
+            solve_h = cpx.solve if hermitian_eps else cpx.solve_embed
+            inv_recip = solve_h(E_recip, cpx.eye(N, E.re.dtype))
+            Delta = E - inv_recip
+            Pxx, Pxy, Pyy = normal_projector_toeplitz_traced(
+                mx, my, Dx, Dy, Lx, Ly, xyrra)
+            M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy)
         else:
-            from .solver.epsilon import ellipse_layer_toeplitz
-            E = ellipse_layer_toeplitz(orders, Lx, Ly, xyrra, eps_p,
-                                       small_arg_only=small_u)
             M_blocks = ()
         Einv = cpx.solve(E, cpx.eye(N, E.re.dtype))
         return E, Einv, M_blocks
 
-    def run_one(xyrra, Lx, Ly, h, E, Einv, M_blocks, eps_g, lam, ux, uy):
+    def run_one(xyrra, orders_j, i0, Lx, Ly, h, E, Einv, M_blocks, eps_g,
+                lam, ux, uy):
         c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
         c = c.at[i0, 0].set(1.0).at[i0 + N, 1].set(1.0)
         # forward + reflection responses to the 2-column incidence,
         # without materializing the composite S-matrix
         ampf, ampr, Kx, Ky = rcwa.cell_amplitudes_with_eps(
-            orders, E, Lx, Ly, h, eps_g, lam, ux, uy, c,
+            orders_j, E, Lx, Ly, h, eps_g, lam, ux, uy, c,
             n_slabs=n_slabs, taylor_terms=taylor_terms,
             M_blocks=M_blocks or None, hermitian_eps=hermitian_eps,
             Einv=Einv)
         return ampf.T, ampr.T                       # C (2, 2N)
 
-    def batched(xyrra, Lx, Ly, h, eps_p_u, eps_g, lam, ux, uy):
+    def batched(xyrra, mx, my, i0, Lx, Ly, h, eps_p_u, eps_g, lam, ux, uy):
         eps_u = jax.vmap(build_eps,
-                         in_axes=(None, None, None, 0))(xyrra, Lx, Ly,
-                                                        eps_p_u)
+                         in_axes=(None, None, None, None, None,
+                                  0))(xyrra, mx, my, Lx, Ly, eps_p_u)
         # wavelength-major flat batch: repeat each wavelength's eps blocks
         # across its n_dir directions
         eps_flat = jax.tree.map(lambda a: jnp.repeat(a, n_dir, axis=0),
                                 eps_u)
         E, Einv, M_blocks = eps_flat
+        orders_j = jnp.stack([mx, my], axis=1)
         return jax.vmap(run_one,
-                        in_axes=(None, None, None, None, 0, 0, 0, 0, 0, 0,
-                                 0))(xyrra, Lx, Ly, h, E, Einv, M_blocks,
-                                     eps_g, lam, ux, uy)
+                        in_axes=(None, None, None, None, None, None, 0, 0,
+                                 0, 0, 0, 0, 0))(xyrra, orders_j, i0, Lx,
+                                                 Ly, h, E, Einv, M_blocks,
+                                                 eps_g, lam, ux, uy)
 
     return jax.jit(batched)
 
@@ -377,10 +428,12 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     # sweep fills an RGB database; eps_p is passed per UNIQUE wavelength
     # (the program builds the u-independent eps blocks once per wavelength)
     n_dir = len(ux_grid)
-    fn = _characterize_program(_orders_key(orders), n_slabs,
+    Dx, Dy = _order_bounds(orders)
+    fn = _characterize_program(N, Dx, Dy, n_slabs,
                                taylor_terms or taylor,
                                small_u_ok(g, orders), fff, hermitian,
                                n_dir)
+    omx, omy, i0 = _traced_order_args(orders)
     lam_flat, ux_flat, uy_flat, epsp_u, epsg_flat, ng_flat = \
         [], [], [], [], [], []
     for lam in wavelengths:
@@ -396,7 +449,8 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     uy_flat = np.asarray(uy_flat)
     lam_flat = np.asarray(lam_flat)
 
-    ampf_c, ampr_c = fn(jnp.asarray(g.xyrra_list, rdtype), g.grating_period,
+    ampf_c, ampr_c = fn(jnp.asarray(g.xyrra_list, rdtype), omx, omy, i0,
+                        g.grating_period,
                         g.lateral_period, g.cyl_height,
                         cpx.from_np(np.asarray(epsp_u)).astype(rdtype),
                         cpx.from_np(np.asarray(epsg_flat)).astype(rdtype),

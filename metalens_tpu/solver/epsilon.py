@@ -120,6 +120,47 @@ def ellipse_structure_toeplitz(orders, grating_period, lateral_period,
     return C(S_flat.re[idx], S_flat.im[idx]), zero_flat[idx]
 
 
+def dense_difference_grid(Dx: int, Dy: int):
+    """Static flat grid of ALL integer order differences with |dmx| <= Dx,
+    |dmy| <= Dy, flat index k = (dmx+Dx)*(2*Dy+1) + (dmy+Dy).  The traced-
+    orders path evaluates eps_hat on this static superset and gathers with
+    a TRACED index map, so one compiled program serves every member of a
+    design chain (each member's order set differs, which would otherwise
+    bake a fresh program per member -- the remote-tunnel compile tax that
+    dominated the NS2 design stage)."""
+    dd_x = np.arange(-Dx, Dx + 1)
+    dd_y = np.arange(-Dy, Dy + 1)
+    DMX, DMY = np.meshgrid(dd_x, dd_y, indexing="ij")
+    return DMX.ravel().astype(np.float64), DMY.ravel().astype(np.float64)
+
+
+def traced_gather_idx(mx, my, Dx: int, Dy: int):
+    """(N, N) flat indices into :func:`dense_difference_grid` for the
+    traced integer order vectors mx, my."""
+    dmx = mx[:, None] - mx[None, :]
+    dmy = my[:, None] - my[None, :]
+    return (dmx + Dx) * (2 * Dy + 1) + (dmy + Dy)
+
+
+def ellipse_structure_toeplitz_traced(mx, my, Dx: int, Dy: int,
+                                      grating_period, lateral_period,
+                                      xyrra, small_arg_only=False):
+    """:func:`ellipse_structure_toeplitz` with the order set TRACED: mx, my
+    are (N,) integer arrays (jnp or tracer).  Evaluates the structure
+    factor on the static dense difference grid (a few x more J1 points
+    than the distinct-difference dedup -- negligible) and gathers with the
+    traced index map.  Identical values to the static path."""
+    area = grating_period * lateral_period
+    xyrra = jnp.asarray(xyrra)
+    DMX, DMY = dense_difference_grid(Dx, Dy)
+    gx = jnp.asarray(DMX, dtype=xyrra.dtype) * (TWO_PI / grating_period)
+    gy = jnp.asarray(DMY, dtype=xyrra.dtype) * (TWO_PI / lateral_period)
+    S_flat = ellipse_shape_sum(gx, gy, xyrra, area, small_arg_only)
+    zero_flat = jnp.asarray((DMX == 0) & (DMY == 0), xyrra.dtype)
+    idx = traced_gather_idx(mx, my, Dx, Dy)
+    return C(S_flat.re[idx], S_flat.im[idx]), zero_flat[idx]
+
+
 def toeplitz_from_structure(structure, at_zero, eps_pillar, eps_bg=1.0) -> C:
     """Assemble the eps Toeplitz from a precomputed structure pair."""
     d_eps = cpx.promote(eps_pillar) - cpx.promote(eps_bg)

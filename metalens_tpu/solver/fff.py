@@ -73,21 +73,24 @@ def _raster_and_basis(orders_key, R: int):
             np.sin(ang) / (R * R), gather)
 
 
-def normal_projector_toeplitz(orders, grating_period, lateral_period, xyrra,
-                              R: int = 64):
-    """Toeplitz blocks (Pxx, Pxy, Pyy) of the normal-projector field
-    n_i n_j.  The field is *global* (|n| = 1 everywhere, so
-    Pxx + Pyy = identity): at every point the normal of the nearest pillar
-    (in its scaled elliptic coordinate) -- the standard requirement for the
-    NV factorization (a windowed/faded field breaks the rule and degrades
-    convergence)."""
-    orders_key = tuple(map(tuple, np.asarray(orders).tolist()))
-    fx, fy, dft_re, dft_im, gather = _raster_and_basis(orders_key, R)
-    xyrra = jnp.asarray(xyrra)
-    Lx, Ly = jnp.asarray(grating_period), jnp.asarray(lateral_period)
-    X = jnp.asarray(fx, xyrra.dtype) * Lx      # (R^2,)
-    Y = jnp.asarray(fy, xyrra.dtype) * Ly
+@functools.lru_cache(maxsize=32)
+def _dense_raster_and_basis(Dx: int, Dy: int, R: int):
+    """As :func:`_raster_and_basis` but over the STATIC dense difference
+    grid (see epsilon.dense_difference_grid): the basis does not depend on
+    the concrete order set, so programs taking orders as traced inputs can
+    share it."""
+    from .epsilon import dense_difference_grid
+    dmx_u, dmy_u = dense_difference_grid(Dx, Dy)
+    f = (np.arange(R) + 0.5) / R - 0.5
+    FX, FY = np.meshgrid(f, f, indexing="ij")
+    ang = -TWO_PI * (np.outer(FX.ravel(), dmx_u) + np.outer(FY.ravel(), dmy_u))
+    return (FX.ravel(), FY.ravel(), np.cos(ang) / (R * R),
+            np.sin(ang) / (R * R))
 
+
+def _normal_field(xyrra, X, Y, Lx, Ly):
+    """Raster samples of the global nearest-pillar outward normal
+    (nx, ny) at points (X, Y) of one unit cell."""
     nx_acc = jnp.zeros_like(X)
     ny_acc = jnp.zeros_like(X)
     u_best = jnp.full_like(X, jnp.inf)
@@ -118,6 +121,52 @@ def normal_projector_toeplitz(orders, grating_period, lateral_period, xyrra,
         nx_acc = jnp.where(take, nx, nx_acc)
         ny_acc = jnp.where(take, ny, ny_acc)
         u_best = jnp.minimum(u_best, d)
+    return nx_acc, ny_acc
+
+
+def normal_projector_toeplitz_traced(mx, my, Dx: int, Dy: int,
+                                     grating_period, lateral_period, xyrra,
+                                     R: int = 64):
+    """:func:`normal_projector_toeplitz` with the order set TRACED (static
+    bound |dmx| <= Dx, |dmy| <= Dy): projects onto the static dense
+    difference basis and gathers with the traced index map."""
+    from .epsilon import traced_gather_idx
+    fx, fy, dft_re, dft_im = _dense_raster_and_basis(Dx, Dy, R)
+    xyrra = jnp.asarray(xyrra)
+    Lx, Ly = jnp.asarray(grating_period), jnp.asarray(lateral_period)
+    X = jnp.asarray(fx, xyrra.dtype) * Lx      # (R^2,)
+    Y = jnp.asarray(fy, xyrra.dtype) * Ly
+    nx_acc, ny_acc = _normal_field(xyrra, X, Y, Lx, Ly)
+    idx = traced_gather_idx(mx, my, Dx, Dy)
+
+    def project(field):
+        re = jnp.matmul(field, jnp.asarray(dft_re, field.dtype),
+                        precision=cpx.MATMUL_PRECISION)
+        im = jnp.matmul(field, jnp.asarray(dft_im, field.dtype),
+                        precision=cpx.MATMUL_PRECISION)
+        return C(re[idx], im[idx])
+
+    Pxx = project(nx_acc * nx_acc)
+    Pxy = project(nx_acc * ny_acc)
+    Pyy = project(ny_acc * ny_acc)
+    return Pxx, Pxy, Pyy
+
+
+def normal_projector_toeplitz(orders, grating_period, lateral_period, xyrra,
+                              R: int = 64):
+    """Toeplitz blocks (Pxx, Pxy, Pyy) of the normal-projector field
+    n_i n_j.  The field is *global* (|n| = 1 everywhere, so
+    Pxx + Pyy = identity): at every point the normal of the nearest pillar
+    (in its scaled elliptic coordinate) -- the standard requirement for the
+    NV factorization (a windowed/faded field breaks the rule and degrades
+    convergence)."""
+    orders_key = tuple(map(tuple, np.asarray(orders).tolist()))
+    fx, fy, dft_re, dft_im, gather = _raster_and_basis(orders_key, R)
+    xyrra = jnp.asarray(xyrra)
+    Lx, Ly = jnp.asarray(grating_period), jnp.asarray(lateral_period)
+    X = jnp.asarray(fx, xyrra.dtype) * Lx      # (R^2,)
+    Y = jnp.asarray(fy, xyrra.dtype) * Ly
+    nx_acc, ny_acc = _normal_field(xyrra, X, Y, Lx, Ly)
 
     def project(field):
         re = jnp.matmul(field, jnp.asarray(dft_re, field.dtype),

@@ -428,7 +428,10 @@ def slab_schedule(k0h_max: float, orders, grating_period, lateral_period,
     while term * y / ((2 * k + 1) * (2 * k + 2)) > 1e-12 or k < 3:
         k += 1
         term = term * y / ((2 * k - 1) * (2 * k))
-    return n_slabs, k
+    # round up to a multiple of 4: extra terms only tighten convergence and
+    # cost ~sqrt (Paterson-Stockmeyer), while a stable count keeps every
+    # member of a design chain on the SAME traced-orders program cache key
+    return n_slabs, -(-k // 4) * 4
 
 
 # The reference basis for representing the intra-layer S-matrix during
@@ -536,10 +539,13 @@ def _cell_parts(orders, E: C, grating_period, lateral_period,
     lossy reference basis plus the two zero-thickness conversion interfaces
     (air | ref at the top face, ref | glass at the bottom; the ref
     representation cancels exactly in the composition)."""
-    orders = np.asarray(orders)
+    # orders may be a concrete numpy array OR a traced jnp array (the
+    # traced-orders engine programs pass it as an input so one compiled
+    # program serves every member of a design chain)
+    orders = jnp.asarray(orders)
     rdt = E.re.dtype
-    mx = jnp.asarray(orders[:, 0], dtype=rdt)
-    my = jnp.asarray(orders[:, 1], dtype=rdt)
+    mx = orders[:, 0].astype(rdt)
+    my = orders[:, 1].astype(rdt)
     Kx = (ux + mx * (wavelength / grating_period)).astype(rdt)
     Ky = (uy + my * (wavelength / lateral_period)).astype(rdt)
 

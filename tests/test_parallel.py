@@ -135,11 +135,15 @@ def test_sharded_characterize_matches_engine():
 
     # compare one element against the single-cell engine program (which
     # batches (wavelength, direction) jointly: give eps/lam a batch dim)
-    from metalens_tpu.engine import _characterize_program, _orders_key
-    single = _characterize_program(_orders_key(orders), ns, 10, fff=True)
+    from metalens_tpu.engine import (_characterize_program, _order_bounds,
+                                     _traced_order_args)
+    Dx, Dy = _order_bounds(orders)
+    single = _characterize_program(len(orders), Dx, Dy, ns, 10, fff=True)
+    omx, omy, i0 = _traced_order_args(orders)
     eps_p1 = cpx.from_np(np.asarray([NT ** 2 + 0j]))
     eps_g1 = cpx.from_np(np.asarray([NG ** 2 + 0j]))
-    a1, r1 = single(jnp.asarray(xyrra[5]), float(Lx[5]), float(Ly[5]),
+    a1, r1 = single(jnp.asarray(xyrra[5]), omx, omy, i0, float(Lx[5]),
+                    float(Ly[5]),
                     550 * nm, eps_p1, eps_g1, jnp.asarray([LAM]),
                     jnp.asarray([ux[5]]), jnp.asarray([uy[5]]))
     np.testing.assert_allclose(cpx.to_np(ampf[5]), cpx.to_np(a1[0]),
