@@ -123,3 +123,39 @@ def test_characterize_energy_balance():
         c_inc = jnp.array([1.0 + 0j, 0j] if pol == "y" else [0j, 1.0 + 0j])
         Pin = float(basis.order_powers(c_inc, Kx0, Ky0, Kz0, 1.0).sum())
         assert abs(P / Pin - 1.0) < 1e-8
+
+
+def test_one_program_serves_a_design_chain():
+    """Members of a design chain differ in grating period (hence in their
+    selected order set), but the traced-orders FOM program must be
+    compiled ONCE and reused -- the remote-tunnel compile tax per
+    continuation member was the dominant cost of production design runs."""
+    from metalens_tpu import engine
+    from metalens_tpu.solver.fom import FomTerm
+    terms = [FomTerm(580 * nm, 1.0, -1, True)]
+    engine._fom_program.cache_clear()
+    angles = np.linspace(28.0, 34.0, 5)
+    foms = []
+    for ang in angles:
+        g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                    target_wavelength=580 * nm,
+                    angle_in_air=float(ang) * degree,
+                    xyrra_list_in_nm_deg=np.array(
+                        [[0., 0., 120., 90., 0.]]))
+        foms.append(g.fom(target_wavelength=580 * nm, numG=30, terms=terms))
+    info = engine._fom_program.cache_info()
+    assert info.currsize == 1, info   # one program for the whole chain
+    assert info.hits >= len(angles) - 1, info
+    # sets genuinely differed (otherwise this test pins nothing)
+    from metalens_tpu.solver import orders as ordmod
+    keys = set()
+    for ang in angles:
+        g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                    target_wavelength=580 * nm,
+                    angle_in_air=float(ang) * degree,
+                    xyrra_list_in_nm_deg=np.array(
+                        [[0., 0., 120., 90., 0.]]))
+        o = ordmod.select_orders(g.grating_period, g.lateral_period, 30)
+        keys.add(tuple(map(tuple, np.asarray(o).tolist())))
+    assert len(keys) > 1
+    assert all(np.isfinite(f) and 0 < f < 1 for f in foms)
