@@ -65,7 +65,7 @@ def sharded_fom_and_grad(mesh, orders, n_slabs, target_idx, inphase,
     ``n_slabs`` and ``taylor_terms`` must be a converged pairing -- take
     both from :func:`metalens_tpu.solver.rcwa.slab_schedule` (the default
     12 terms matches the classic target-4.5 ``default_n_slabs`` count, NOT
-    the schedule's target-9 count).
+    the schedule's relaxed-cap count, which needs its longer series).
     """
     orders = np.asarray(orders)
 
