@@ -85,3 +85,38 @@ def test_toeplitz_is_hermitian_for_real_eps():
     orders = ordmod.select_orders(Lx, Ly, 25)
     E = cpx.to_np(ellipse_layer_toeplitz(orders, Lx, Ly, xyrra, 5.6))
     np.testing.assert_allclose(E, E.conj().T, atol=1e-12)
+
+
+def test_traced_structure_matches_static():
+    """The traced-orders structure factor and NV projector (dense
+    difference superset + traced gather) must reproduce the static
+    distinct-difference path exactly."""
+    import jax.numpy as jnp
+    from metalens_tpu.solver import orders as ordmod
+    from metalens_tpu.solver.epsilon import (
+        ellipse_structure_toeplitz, ellipse_structure_toeplitz_traced)
+    from metalens_tpu.solver.fff import (
+        normal_projector_toeplitz, normal_projector_toeplitz_traced)
+    from metalens_tpu.engine import _order_bounds
+    from metalens_tpu.units import nm
+
+    LX, LY = 1150 * nm, 320 * nm
+    xyrra = np.array([[-210 * nm, 5 * nm, 140 * nm, 105 * nm, 0.07],
+                      [190 * nm, -12 * nm, 95 * nm, 125 * nm, -0.1]])
+    orders = ordmod.select_orders(LX, LY, 33)
+    Dx, Dy = _order_bounds(orders)
+    o = np.asarray(orders)
+    mx = jnp.asarray(o[:, 0], jnp.int32)
+    my = jnp.asarray(o[:, 1], jnp.int32)
+
+    S0, z0 = ellipse_structure_toeplitz(orders, LX, LY, xyrra)
+    S1, z1 = ellipse_structure_toeplitz_traced(mx, my, Dx, Dy, LX, LY,
+                                               jnp.asarray(xyrra))
+    np.testing.assert_allclose(cpx.to_np(S1), cpx.to_np(S0), atol=1e-14)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z0), atol=0)
+
+    P0 = normal_projector_toeplitz(orders, LX, LY, xyrra)
+    P1 = normal_projector_toeplitz_traced(mx, my, Dx, Dy, LX, LY,
+                                          jnp.asarray(xyrra))
+    for a, b in zip(P1, P0):
+        np.testing.assert_allclose(cpx.to_np(a), cpx.to_np(b), atol=1e-14)
