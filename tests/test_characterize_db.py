@@ -142,3 +142,25 @@ def test_hexgrid_multiwavelength_append():
     np.testing.assert_allclose(hgs.x_amp_list, xa580, rtol=1e-12)
     hgs.build_interpolators()
     assert sorted({k[0] for k in hgs.interpolators}) == [450, 580, 650]
+
+
+def test_one_program_characterizes_a_collection():
+    """Members differ in grating period (distinct order sets), but the
+    traced-orders characterize program must compile ONCE for the whole
+    collection sweep (the per-member remote compile was the bulk of a
+    production characterize; see also the engine-side FOM pin)."""
+    from metalens_tpu import engine
+    gs = [Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                  target_wavelength=580 * nm,
+                  angle_in_air=float(ang) * degree,
+                  xyrra_list_in_nm_deg=np.array([[0., 0., 115., 88., 0.]]))
+          for ang in (28.0, 30.5, 33.0)]
+    gc = GratingCollection(target_wavelength=580 * nm,
+                           lateral_period=320 * nm, lens_type="cyl",
+                           grating_list=gs)
+    engine._characterize_program.cache_clear()
+    gc.characterize(wavelength=[580 * nm, 450 * nm], numG=25, u_steps=2)
+    info = engine._characterize_program.cache_info()
+    assert info.currsize == 1, info
+    assert info.hits >= len(gs) - 1, info
+    assert all(len(g.data) > 0 for g in gs)
