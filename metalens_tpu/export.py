@@ -1,11 +1,12 @@
-"""Fabrication export: DXF and SVG files of full pillar layouts.
+"""Fabrication export: DXF, SVG, and GDSII files of full pillar layouts.
 
 Reference parity for ``make_dxf`` / ``make_dxf2`` / ``make_svg``
 (``design_collimator.py:317-381``) without the dxfwrite/ezdxf/svgwrite
-dependencies: the writers are self-contained (DXF R12 subset, plain SVG),
-with a native C++ fast path (``native/fastexport.cpp``, via ctypes) that
-streams millions of pillars per second -- the reference progress-prints
-every 10k ellipses and takes minutes for large lenses.
+dependencies: the writers are self-contained (DXF R12 subset, plain SVG,
+binary GDSII stream -- the format mask shops actually take, which the
+reference lacks), with a native C++ fast path (``native/fastexport.cpp``,
+via ctypes) that streams millions of pillars per second -- the reference
+progress-prints every 10k ellipses and takes minutes for large lenses.
 
 Coordinates are written in micrometres, circles as CIRCLE entities and
 ellipses as closed polylines (16 segments by default), matching the
@@ -50,6 +51,10 @@ def _native_lib():
                                   ctypes.POINTER(ctypes.c_double),
                                   ctypes.c_long]
         lib.write_svg.restype = ctypes.c_int
+        lib.write_gds.argtypes = [ctypes.c_char_p,
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.c_long, ctypes.c_int, ctypes.c_int]
+        lib.write_gds.restype = ctypes.c_int
         _lib = lib
     except Exception:
         _lib = False
@@ -102,6 +107,92 @@ def make_dxf(xyrra_list, filename="test.dxf", ellipse_segments=16,
 # reference exposes both make_dxf and the faster make_dxf2; here they are the
 # same native-backed writer
 make_dxf2 = make_dxf
+
+
+def _gds_real(v: float) -> bytes:
+    """GDSII 8-byte real: sign bit, excess-64 base-16 exponent, 56-bit
+    mantissa in [1/16, 1)."""
+    if v == 0.0:
+        return b"\x00" * 8
+    sign = 0
+    if v < 0:
+        sign, v = 0x80, -v
+    e = 0
+    while v >= 1.0:
+        v /= 16.0
+        e += 1
+    while v < 1.0 / 16.0:
+        v *= 16.0
+        e -= 1
+    mant = int(v * 2 ** 56)      # truncate: matches canonical encoders
+    if mant >= 2 ** 56:
+        mant >>= 4
+        e += 1
+    return bytes([sign | (e + 64)]) + mant.to_bytes(7, "big")
+
+
+def _gds_rec(rtype_dtype: int, data: bytes = b"") -> bytes:
+    return ((len(data) + 4).to_bytes(2, "big")
+            + rtype_dtype.to_bytes(2, "big") + data)
+
+
+def make_gds(xyrra_list, filename="test.gds", ellipse_segments=64,
+             layer=0, use_native=True):
+    """Write a GDSII stream file of the layout.
+
+    Beyond reference parity: the reference exports only DXF/SVG
+    (``design_collimator.py:317-381``) while mask shops and e-beam writers
+    take GDSII.  Self-contained stream writer (no gdstk/gdspy dependency;
+    native C++ fast path byte-identical to the python fallback): every
+    pillar -- circles included, GDSII has no curved primitive -- becomes a
+    closed BOUNDARY polygon with ``ellipse_segments`` vertices on ``layer``,
+    database unit 1 nm, user unit 1 um, zeroed timestamps so output is
+    deterministic.
+    """
+    data = _xyrra_in_um(xyrra_list)
+    lib = _native_lib() if use_native else None
+    if lib:
+        rc = lib.write_gds(
+            filename.encode(),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            data.shape[0], ellipse_segments, layer)
+        if rc != 0:
+            raise OSError(f"native gds writer failed with code {rc}")
+        return filename
+    if not 3 <= ellipse_segments <= 8000:
+        raise ValueError("ellipse_segments must be in [3, 8000] (the XY "
+                         "record holds at most 8191 points)")
+    ts = np.arange(ellipse_segments) * (2 * pi / ellipse_segments)
+    ct, st = np.cos(ts), np.sin(ts)
+    with open(filename, "wb") as f:
+        f.write(_gds_rec(0x0002, (600).to_bytes(2, "big")))     # HEADER
+        f.write(_gds_rec(0x0102, b"\x00" * 24))                 # BGNLIB
+        f.write(_gds_rec(0x0206, b"METALENS"))                  # LIBNAME
+        f.write(_gds_rec(0x0305, _gds_real(1e-3) + _gds_real(1e-9)))
+        f.write(_gds_rec(0x0502, b"\x00" * 24))                 # BGNSTR
+        f.write(_gds_rec(0x0606, b"LENS"))                      # STRNAME
+        lay = int(layer).to_bytes(2, "big")
+        dt = (0).to_bytes(2, "big")
+        for x, y, rx, ry, a in data:
+            ca, sa = np.cos(a), np.sin(a)
+            dx, dy = rx * ct * 1000.0, ry * st * 1000.0         # um -> nm
+            # round-half-away-from-zero, matching the native writer's lround
+            fx = x * 1000.0 + dx * ca - dy * sa
+            fy = y * 1000.0 + dx * sa + dy * ca
+            px = (np.sign(fx) * np.floor(np.abs(fx) + 0.5)).astype(np.int64)
+            py = (np.sign(fy) * np.floor(np.abs(fy) + 0.5)).astype(np.int64)
+            px = np.append(px, px[0])
+            py = np.append(py, py[0])
+            xy = np.empty(2 * px.size, dtype=">i4")
+            xy[0::2], xy[1::2] = px, py
+            f.write(_gds_rec(0x0800))                           # BOUNDARY
+            f.write(_gds_rec(0x0D02, lay))                      # LAYER
+            f.write(_gds_rec(0x0E02, dt))                       # DATATYPE
+            f.write(_gds_rec(0x1003, xy.tobytes()))             # XY
+            f.write(_gds_rec(0x1100))                           # ENDEL
+        f.write(_gds_rec(0x0700))                               # ENDSTR
+        f.write(_gds_rec(0x0400))                               # ENDLIB
+    return filename
 
 
 def make_svg(xyrra_list, filename="test.svg", use_native=True,

@@ -1,13 +1,15 @@
-"""Export tests: DXF/SVG writers (native C++ and python fallback) produce
-consistent, parseable output."""
+"""Export tests: DXF/SVG/GDSII writers (native C++ and python fallback)
+produce consistent, parseable output."""
 
 import os
 import re
+import struct
 
 import numpy as np
 import pytest
 
-from metalens_tpu.export import make_dxf, make_svg, _native_lib
+from metalens_tpu.export import make_dxf, make_gds, make_svg, _gds_real, \
+    _native_lib
 from metalens_tpu.units import nm, um
 
 
@@ -52,6 +54,89 @@ def test_native_matches_python(tmp_path):
     make_svg(XYRRA, s1, use_native=True)
     make_svg(XYRRA, s2, use_native=False)
     assert open(s1).read() == open(s2).read()
+
+
+def _parse_gds(path):
+    """Minimal GDSII stream reader: returns (records, polygons) where
+    polygons is a list of (layer, Nx2 int array in db units)."""
+    raw = open(path, "rb").read()
+    i, records = 0, []
+    while i < len(raw):
+        (length, rt_dt) = struct.unpack(">HH", raw[i:i + 4])
+        assert length >= 4
+        records.append((rt_dt, raw[i + 4:i + length]))
+        i += length
+    assert i == len(raw)
+    polygons, layer = [], None
+    for rt_dt, data in records:
+        if rt_dt == 0x0D02:
+            (layer,) = struct.unpack(">H", data)
+        elif rt_dt == 0x1003:
+            xy = np.frombuffer(data, dtype=">i4").astype(np.int64)
+            polygons.append((layer, xy.reshape(-1, 2)))
+    return records, polygons
+
+
+def _gds_real_decode(b):
+    e = (b[0] & 0x7F) - 64
+    mant = int.from_bytes(b[1:8], "big") / 2.0 ** 56
+    v = mant * 16.0 ** e
+    return -v if b[0] & 0x80 else v
+
+
+def test_gds_real_encoding():
+    # known byte patterns for the standard UNITS values; the last mantissa
+    # byte may differ by one ulp from decimal-arithmetic encoders (the
+    # double 1e-3 scaled by 2^56 is exactly ...f0; truncating INFINITE
+    # precision 1e-3 gives the often-quoted ...ef) -- readers decode both
+    # to the same double
+    def close(b, ref):
+        return abs(int.from_bytes(b, "big") - int.from_bytes(
+            bytes.fromhex(ref), "big")) <= 1
+    assert close(_gds_real(1e-3), "3e4189374bc6a7ef")
+    assert close(_gds_real(1e-9), "3944b82fa09b5a54")
+    for v in (0.0, 1.0, -1.0, 0.25, 1e-3, 2.5e7, -3.1e-11):
+        assert _gds_real_decode(_gds_real(v)) == pytest.approx(v, rel=1e-14)
+
+
+def test_gds_python_writer_roundtrip(tmp_path):
+    path = str(tmp_path / "a.gds")
+    make_gds(XYRRA, path, ellipse_segments=32, layer=3, use_native=False)
+    records, polygons = _parse_gds(path)
+    rtypes = [r for r, _ in records]
+    # stream structure: HEADER, BGNLIB, LIBNAME, UNITS, BGNSTR, STRNAME ...
+    assert rtypes[:6] == [0x0002, 0x0102, 0x0206, 0x0305, 0x0502, 0x0606]
+    assert rtypes[-2:] == [0x0700, 0x0400]
+    units = dict(records)[0x0305]
+    assert _gds_real_decode(units[:8]) == pytest.approx(1e-3)
+    assert _gds_real_decode(units[8:]) == pytest.approx(1e-9)
+    assert len(polygons) == len(XYRRA)
+    for (layer, xy), row in zip(polygons, XYRRA):
+        assert layer == 3
+        assert xy.shape == (33, 2)          # closed: first point repeated
+        assert (xy[0] == xy[-1]).all()
+        # vertices lie on the rotated ellipse (db unit = 1 nm)
+        x0, y0, rx, ry, a = row
+        dx = (xy[:-1, 0] * nm - x0)
+        dy = (xy[:-1, 1] * nm - y0)
+        xp = dx * np.cos(a) + dy * np.sin(a)
+        yp = -dx * np.sin(a) + dy * np.cos(a)
+        r2 = (xp / rx) ** 2 + (yp / ry) ** 2
+        assert np.allclose(r2, 1.0, atol=0.05)
+
+
+@pytest.mark.skipif(not _native_lib(), reason="no native toolchain")
+def test_gds_native_matches_python(tmp_path):
+    p1 = str(tmp_path / "n.gds")
+    p2 = str(tmp_path / "p.gds")
+    make_gds(XYRRA, p1, use_native=True)
+    make_gds(XYRRA, p2, use_native=False)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_gds_segment_bounds(tmp_path):
+    with pytest.raises((ValueError, OSError)):
+        make_gds(XYRRA, str(tmp_path / "b.gds"), ellipse_segments=2)
 
 
 @pytest.mark.skipif(not _native_lib(), reason="no native toolchain")
