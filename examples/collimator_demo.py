@@ -2,7 +2,7 @@
 """End-to-end demo: design a miniature round collimator and compute its
 focal performance.  Mirrors the reference README workflow
 (grating -> optimize -> vary_angle -> characterize -> hex center ->
-make_design -> near-field -> far-field -> DXF/SVG export).  ~25 min on CPU
+make_design -> near-field -> far-field -> DXF/SVG/GDSII export).  ~25 min on CPU
 (--cpu); a typical result: 75-member collection, 3 periphery rings + hex
 center (~1700 pillars), 84% transmission with a collimated on-axis beam.
 
@@ -45,7 +45,7 @@ def main():
     from metalens_tpu.assembly import make_design
     from metalens_tpu.nearfield import build_nearfield
     from metalens_tpu.farfield import farfield, focal_metrics
-    from metalens_tpu.export import make_dxf, make_svg
+    from metalens_tpu.export import make_dxf, make_gds, make_svg
     from metalens_tpu.geometry import good_fft_number
     from metalens_tpu.solver.fom import FomTerm
     from metalens_tpu.units import nm, um, degree
@@ -106,6 +106,7 @@ def main():
           f"center r={r_switch/um:.2f}um")
     make_dxf(xyrra, os.path.join(args.outdir, "collimator.dxf"))
     make_svg(xyrra, os.path.join(args.outdir, "collimator.svg"))
+    make_gds(xyrra, os.path.join(args.outdir, "collimator.gds"))
 
     # --- 4b. RGB databases for chromatic evaluation (--rgb): one joint
     # (lambda x direction) sweep per member fills 450 + 650 on top of 580;
