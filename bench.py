@@ -52,6 +52,11 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: harmless if the backend can't serialize
+    # executables (JAX degrades to in-memory); saves the multi-minute
+    # remote-tunnel compile on repeat runs
+    from metalens_tpu.engine import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from metalens_tpu.solver import cpx, orders as ordmod, rcwa
 

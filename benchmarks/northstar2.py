@@ -348,10 +348,18 @@ def main():
                     help="tiny-scale pipeline check (single bracket, "
                          "single wavelength, micro lens); does not "
                          "overwrite the production ledger")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="skip the persistent XLA compilation cache "
+                         "(on by default: re-runs and resumed stages "
+                         "reload executables instead of recompiling)")
     args = ap.parse_args()
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_compile_cache:
+        from metalens_tpu.engine import enable_compilation_cache
+        cache = enable_compilation_cache()
+        print(f"# compilation cache: {cache}", flush=True)
     if args.smoke:
         global RADIUS_UM, SOURCE_DISTANCE_UM, LAMS_NM, DESIGN_NUMG
         global CHAR_NUMG, BRACKETS, LEDGER_PATH

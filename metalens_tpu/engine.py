@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence
 
 import numpy as np
@@ -35,6 +36,35 @@ from .solver.cpx import C
 from .solver.epsilon import toeplitz_from_structure
 from .solver.fom import FomTerm, DEFAULT_FOM_TERMS, term_score
 from .units import nm, pi
+
+
+def enable_compilation_cache(cache_dir: str | None = None,
+                             min_compile_secs: float = 1.0) -> str | None:
+    """Opt in to JAX's persistent compilation cache (best effort).
+
+    The traced-orders refactor already collapses a design chain onto a few
+    program signatures per process; the persistent cache removes the
+    remaining per-PROCESS compile tax -- a resumed/re-run pipeline (e.g.
+    ``benchmarks/northstar2.py``'s staged design) reloads executables
+    instead of recompiling for ~20-60 s each over the remote-tunnel dev
+    setup.  Returns the cache dir, or None if the backend/config rejected
+    it (some PJRT plugins do not support executable serialization; the
+    failure is harmless, compiles just stay in-memory).
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "METALENS_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "metalens_jax"))
+    if not cache_dir:
+        return None
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          float(min_compile_secs))
+    except Exception:
+        return None
+    return cache_dir
 
 
 def small_u_ok(g, orders) -> bool:
