@@ -157,7 +157,8 @@ def _fom_program(N: int, Dx: int, Dy: int, n_slabs: int, taylor_terms: int,
                                     cpx.eye(E.shape[0], E.re.dtype))
                 Delta = E - inv_recip
                 Pxx, Pxy, Pyy = P_blocks
-                M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy)
+                M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy,
+                                     hermitian=hermitian_eps)
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
             c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
@@ -380,7 +381,8 @@ def _characterize_program(N: int, Dx: int, Dy: int, n_slabs: int,
             Delta = E - inv_recip
             Pxx, Pxy, Pyy = normal_projector_toeplitz_traced(
                 mx, my, Dx, Dy, Lx, Ly, xyrra)
-            M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy)
+            M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy,
+                                 hermitian=hermitian_eps)
         else:
             M_blocks = ()
         Einv = cpx.solve(E, cpx.eye(N, E.re.dtype))

@@ -12,18 +12,24 @@ normal and the direct rule tangentially:
     P_hat    =  Toeplitz blocks of the tensor field  n_i(r) n_j(r)
 
 with n the unit normal field of the pillar boundaries (global,
-nearest-pillar) and sym(X) = (X + X^H)/2.
+nearest-pillar) and sym(Delta P) = (Delta P + P Delta)/2 the anticommutator
+symmetrization (for lossless Delta this equals the Hermitian part
+(X + X^H)/2, which is what :func:`nv_blocks` computes there -- one matmul
+cheaper; see its docstring for why the Hermitian part is *wrong* for lossy
+Delta).
 
-The Hermitian symmetrization is the load-bearing detail: Delta and P_hat
-are each Hermitian, but their *product* is not at finite truncation, and a
-non-Hermitian eps operator for a lossless structure breaks S-matrix
-unitarity -- measured 1.4-2.1% energy defect at numG=25-49 without it.
+The symmetrization is the load-bearing detail: Delta and P_hat are each
+Hermitian (lossless) and persymmetric, but their *product* is neither at
+finite truncation.  A non-Hermitian eps operator for a lossless structure
+breaks S-matrix unitarity -- measured 1.4-2.1% energy defect at numG=25-49
+without it; a non-persymmetric operator breaks Lorentz reciprocity --
+measured 8e-3 on the s21 identity (tests/test_reciprocity.py).
 Symmetrizing restores machine-exact energy conservation (defect < 1e-14,
-same as the Laurent rule) while keeping the convergence acceleration
-(measured 4.5% vs Laurent's 16.9% relative amplitude error at numG=61
-against a numG=161 reference); sym(Delta P) - Delta P is O(commutator
-truncation error), i.e. it vanishes at the same rate the correction itself
-converges.
+same as the Laurent rule) and 1e-8-level reciprocity while keeping the
+convergence acceleration (measured 4.5% vs Laurent's 16.9% relative
+amplitude error at numG=61 against a numG=161 reference);
+sym(Delta P) - Delta P is O(commutator truncation error), i.e. it vanishes
+at the same rate the correction itself converges.
 
 Implementation notes (TPU-first):
 
@@ -187,17 +193,36 @@ def hermitian_part(X):
     return C((X.re + X.re.T) * 0.5, (X.im - X.im.T) * 0.5)
 
 
-def nv_blocks(E, Delta, Pxx, Pxy, Pyy):
+def nv_blocks(E, Delta, Pxx, Pxy, Pyy, hermitian: bool = True):
     """The symmetrized NV-corrected in-plane eps operator blocks.
 
-    Hermiticity of each block (and Myx = Mxy^H = Mxy) makes the 2Nx2N eps
-    operator Hermitian, which is exactly the condition under which the
-    truncated RCWA S-matrix of a lossless layer is flux-unitary -- see the
-    module docstring.  Costs 3 extra matmuls over the one-sided product.
+    The correct symmetrization is the anticommutator (Delta P + P Delta)/2:
+    Delta and the projector blocks are persymmetric (Sigma X Sigma = X^T
+    under the order-negation map Sigma -- every convolution operator is),
+    so the anticommutator keeps the eps operator persymmetric, which is the
+    condition for the truncated S-matrix to satisfy Lorentz reciprocity
+    (pinned by tests/test_reciprocity.py).
+
+    ``hermitian=True`` (lossless Delta) takes the one-matmul shortcut
+    (X + X^H)/2, *identical* to the anticommutator when Delta^H = Delta and
+    P^H = P, and then also Hermitian -- the condition for a lossless layer's
+    truncated S-matrix to be flux-unitary (see the module docstring).  For
+    lossy Delta the Hermitian part is wrong twice over: it conjugates
+    Delta's anti-Hermitian piece (breaking reciprocity, measured 8e-3 on
+    the s21 identity) and deletes the correction's absorption contribution.
+    Pass ``hermitian=False`` there; the second product costs 3 extra
+    matmuls, off the lossless production hot path.
     """
-    Mxx = E - hermitian_part(Delta @ Pxx)
-    Mxy = -hermitian_part(Delta @ Pxy)
-    Myy = E - hermitian_part(Delta @ Pyy)
+    if hermitian:
+        def sym(P):
+            return hermitian_part(Delta @ P)
+    else:
+        def sym(P):
+            X, Y = Delta @ P, P @ Delta
+            return C((X.re + Y.re) * 0.5, (X.im + Y.im) * 0.5)
+    Mxx = E - sym(Pxx)
+    Mxy = -sym(Pxy)
+    Myy = E - sym(Pyy)
     return Mxx, Mxy, Myy
 
 
@@ -232,5 +257,5 @@ def fff_eps_blocks(orders, grating_period, lateral_period, xyrra,
     Delta = E - inv_recip
     Pxx, Pxy, Pyy = normal_projector_toeplitz(
         orders, grating_period, lateral_period, xyrra, R=R)
-    Mxx, Mxy, Myy = nv_blocks(E, Delta, Pxx, Pxy, Pyy)
+    Mxx, Mxy, Myy = nv_blocks(E, Delta, Pxx, Pxy, Pyy, hermitian=hermitian)
     return E, Mxx, Mxy, Myy

@@ -84,3 +84,36 @@ def test_random_cells_match_eigenmode_reference(seed):
     scale = np.abs(np.asarray(S_ref.s11)).max()
     assert np.abs(cpx.to_np(S.s11) - np.asarray(S_ref.s11)).max() < 1e-6 * scale
     assert np.abs(cpx.to_np(S.s21) - np.asarray(S_ref.s21)).max() < 1e-6 * scale
+
+
+def test_engine_fff_with_absorbing_material():
+    """End-to-end engine plumbing for a lossy pillar material: a complex
+    n_tio2 override must auto-route static_solve_config to hermitian=False
+    (pivoted <<1/eps>> inverse + anticommutator NV symmetrization) and
+    produce a finite, strictly-lower passthrough FOM than its lossless
+    twin (absorption can only remove transmitted power here)."""
+    from metalens_tpu import Grating
+    from metalens_tpu.engine import fom_of_grating, static_solve_config
+    from metalens_tpu.solver.fom import FomTerm
+    from metalens_tpu.units import degree
+
+    def make(nt):
+        return Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                       target_wavelength=580 * nm, angle_in_air=30 * degree,
+                       n_tio2=nt,
+                       xyrra_list_in_nm_deg=np.array(
+                           [[0., 0., 120., 90., 0.],
+                            [500., 10., 80., 110., 5.]]))
+
+    g_lossy = make(2.372 + 0.08j)
+    g_real = make(2.372)
+    *_, herm_lossy = static_solve_config(g_lossy, [LAM], 30)
+    *_, herm_real = static_solve_config(g_real, [LAM], 30)
+    assert herm_lossy is False and herm_real is True
+
+    terms = [FomTerm(LAM, 1.0, 0, False)]
+    f_lossy = fom_of_grating(g_lossy, target_wavelength=LAM, numG=30,
+                             terms=terms)
+    f_real = fom_of_grating(g_real, target_wavelength=LAM, numG=30,
+                            terms=terms)
+    assert 0.0 < f_lossy < f_real < 1.0
