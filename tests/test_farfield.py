@@ -126,6 +126,79 @@ def test_high_na_grazing_bins():
     assert np.isfinite(np.where(np.isfinite(P), P, 0.0).sum())
 
 
+def _J1(x):
+    """Bessel J1 by its integral representation (vectorized trapezoid;
+    ~1e-9 accurate here) -- an analytic anchor independent of the code
+    under test."""
+    tau = np.linspace(0.0, np.pi, 4001)
+    return np.trapezoid(np.cos(tau[None, :] - np.outer(x, np.sin(tau))),
+                        tau, axis=1) / np.pi
+
+
+def test_circular_aperture_matches_airy_pattern():
+    """Uniformly illuminated circular disk: the angular power must follow
+    the analytic Airy pattern [2 J1(v)/v]^2 (v = k_g a sin(theta)) times
+    the transform's own obliquity factor (1+uz)^2/uz, and the encircled
+    energy must follow the textbook cumulative 1 - J0^2 - J1^2.  This
+    pins the SHAPE of the far field (the other tests pin totals, peak
+    direction, and grazing bins), against a formula the code never
+    computes.  Reference role: the by-hand near-field phase plots the
+    reference used as its only pattern check (lens_center.py:181-184)."""
+    n_pts, spacing = 256, LAM / 2.2
+    xs = (np.arange(n_pts) - n_pts / 2) * spacing
+    ys = xs.copy()
+    a = 12.0 * spacing                      # disk radius
+    # anti-aliased disk: per-pixel coverage by 4x4 subsampling (a hard
+    # pixel mask would put ~2% edge noise on the first ring)
+    sub = (np.arange(4) - 1.5) / 4 * spacing
+    cover = np.zeros((n_pts, n_pts))
+    for dx in sub:
+        for dy in sub:
+            X, Y = np.meshgrid(xs + dx, ys + dy, indexing="ij")
+            cover += (X ** 2 + Y ** 2 < a ** 2) / 16.0
+    Ex = cover.astype(complex)
+    Hy = NG / nu.Z0 * Ex
+    zero = np.zeros_like(Ex)
+    P, total_P, ux, uy, dux, duy = farfield(Ex, zero, zero, Hy, xs, ys,
+                                            LAM, NG)
+    Pz = np.asarray(jnp.where(jnp.isfinite(P), P, 0.0))
+    UX = np.asarray(ux).reshape(-1, 1)
+    UY = np.asarray(uy).reshape(1, -1)
+    s = np.sqrt(UX ** 2 + UY ** 2)          # sin(theta) in glass
+    kg_a = 2 * np.pi * NG / LAM * a
+    s1 = 3.8317059702 / kg_a                # first Airy zero
+
+    s_full = np.broadcast_to(s, Pz.shape)
+
+    # encircled energy: the analytic cumulative is E(v) = 1 - J0^2 - J1^2;
+    # compare the first-zero / third-ring ratio (a total-power denominator
+    # would fold in the pixelated disk's spectral tail, ~2% here)
+    def _J0(x):
+        tau = np.linspace(0.0, np.pi, 4001)
+        return np.trapezoid(np.cos(np.outer(x, np.sin(tau))), tau,
+                            axis=1) / np.pi
+
+    def encircled(v):
+        return 1.0 - _J0([v])[0] ** 2 - _J1([v])[0] ** 2
+
+    v1 = 3.8317059702
+    ratio = Pz[s_full < s1].sum() / Pz[s_full < 3.3 * s1].sum()
+    assert abs(ratio - encircled(v1) / encircled(3.3 * v1)) < 0.01
+
+    # radial shape over the main lobe + first two rings
+    sel = (s_full > 0) & (s_full < 3.3 * s1)
+    v = kg_a * s_full[sel]
+    uz = np.sqrt(1 - s_full[sel] ** 2)
+    airy = (2 * _J1(v) / v) ** 2 * (1 + uz) ** 2 / uz
+    # normalize by the on-axis bin, where (2J1/v)^2 -> 1 and (1+uz)^2/uz = 4
+    i0, j0 = np.unravel_index(np.argmin(s_full), Pz.shape)
+    assert s_full[i0, j0] == 0.0
+    airy = airy * (Pz[i0, j0] / 4.0)
+    got = Pz[sel]
+    rel_l2 = np.linalg.norm(got - airy) / np.linalg.norm(airy)
+    assert rel_l2 < 0.01          # measured 0.0016
+
+
 def test_dft_four_step_recursion(monkeypatch):
     """Force the four-step Cooley-Tukey path (normally only above 4096) and
     check it against the direct matmul DFT / numpy."""
