@@ -138,27 +138,18 @@ def _fom_program(N: int, Dx: int, Dy: int, n_slabs: int, taylor_terms: int,
             mx, my, Dx, Dy, Lx, Ly, xyrra, small_arg_only=small_u)
         if fff:
             from .solver.fff import normal_projector_toeplitz_traced, \
-                nv_blocks
+                nv_blocks_from_structure
             P_blocks = normal_projector_toeplitz_traced(mx, my, Dx, Dy,
                                                         Lx, Ly, xyrra)
         for t in range(T):
             E = toeplitz_from_structure(S_struct, at_zero, eps_p[t])
             M_blocks = None
             if fff:
-                E_recip = (S_struct * (cpx.promote(1.0) / eps_p[t]
-                                       - cpx.promote(1.0))
-                           + cpx.promote(1.0) * at_zero)
-                # HPD for lossless dielectrics -> unpivoted cpx.solve is
-                # valid and routes to the grouped Pallas inverse on TPU
-                # (round-3 chip A/B vs cho_solve); absorbing eps needs the
-                # pivoted embedding, as in fff.fff_eps_blocks
-                solve_h = cpx.solve if hermitian_eps else cpx.solve_embed
-                inv_recip = solve_h(E_recip,
-                                    cpx.eye(E.shape[0], E.re.dtype))
-                Delta = E - inv_recip
-                Pxx, Pxy, Pyy = P_blocks
-                M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy,
-                                     hermitian=hermitian_eps)
+                # shared recipe incl. the HPD-vs-pivoted solve routing;
+                # see fff.nv_blocks_from_structure
+                _, M_blocks = nv_blocks_from_structure(
+                    S_struct, at_zero, eps_p[t], P_blocks,
+                    hermitian=hermitian_eps, E=E)
             cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
             cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
             c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
@@ -370,19 +361,14 @@ def _characterize_program(N: int, Dx: int, Dy: int, n_slabs: int,
         E = toeplitz_from_structure(S_struct, at_zero, eps_p)
         if fff:
             from .solver.fff import normal_projector_toeplitz_traced, \
-                nv_blocks
-            # <<1/eps>> against the eps_bg=1 background, as in
-            # fff.fff_eps_blocks
-            E_recip = (S_struct * (cpx.promote(1.0) / eps_p
-                                   - cpx.promote(1.0))
-                       + cpx.promote(1.0) * at_zero)
-            solve_h = cpx.solve if hermitian_eps else cpx.solve_embed
-            inv_recip = solve_h(E_recip, cpx.eye(N, E.re.dtype))
-            Delta = E - inv_recip
-            Pxx, Pxy, Pyy = normal_projector_toeplitz_traced(
+                nv_blocks_from_structure
+            P_blocks = normal_projector_toeplitz_traced(
                 mx, my, Dx, Dy, Lx, Ly, xyrra)
-            M_blocks = nv_blocks(E, Delta, Pxx, Pxy, Pyy,
-                                 hermitian=hermitian_eps)
+            # shared recipe incl. the HPD-vs-pivoted solve routing; see
+            # fff.nv_blocks_from_structure
+            _, M_blocks = nv_blocks_from_structure(
+                S_struct, at_zero, eps_p, P_blocks,
+                hermitian=hermitian_eps, E=E)
         else:
             M_blocks = ()
         Einv = cpx.solve(E, cpx.eye(N, E.re.dtype))

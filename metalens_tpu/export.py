@@ -149,6 +149,14 @@ def make_gds(xyrra_list, filename="test.gds", ellipse_segments=64,
     database unit 1 nm, user unit 1 um, zeroed timestamps so output is
     deterministic.
     """
+    # validate BEFORE dispatching: the native path would surface these only
+    # as an opaque nonzero return code (segments) or silently truncate the
+    # 16-bit layer field (layer)
+    if not 3 <= ellipse_segments <= 8000:
+        raise ValueError("ellipse_segments must be in [3, 8000] (the XY "
+                         "record holds at most 8191 points)")
+    if not 0 <= int(layer) <= 255:
+        raise ValueError("layer must be in [0, 255] (GDSII layer range)")
     data = _xyrra_in_um(xyrra_list)
     lib = _native_lib() if use_native else None
     if lib:
@@ -159,10 +167,11 @@ def make_gds(xyrra_list, filename="test.gds", ellipse_segments=64,
         if rc != 0:
             raise OSError(f"native gds writer failed with code {rc}")
         return filename
-    if not 3 <= ellipse_segments <= 8000:
-        raise ValueError("ellipse_segments must be in [3, 8000] (the XY "
-                         "record holds at most 8191 points)")
-    ts = np.arange(ellipse_segments) * (2 * pi / ellipse_segments)
+    # float association below matches the native writer operation for
+    # operation (cos(2*pi*k/S) with this exact bracketing; radii scaled to
+    # nm BEFORE the cos/sin products) so the byte-identical contract pinned
+    # by test_gds_native_matches_python holds to the last ulp
+    ts = 2 * pi * np.arange(ellipse_segments) / ellipse_segments
     ct, st = np.cos(ts), np.sin(ts)
     with open(filename, "wb") as f:
         f.write(_gds_rec(0x0002, (600).to_bytes(2, "big")))     # HEADER
@@ -175,7 +184,7 @@ def make_gds(xyrra_list, filename="test.gds", ellipse_segments=64,
         dt = (0).to_bytes(2, "big")
         for x, y, rx, ry, a in data:
             ca, sa = np.cos(a), np.sin(a)
-            dx, dy = rx * ct * 1000.0, ry * st * 1000.0         # um -> nm
+            dx, dy = (rx * 1000.0) * ct, (ry * 1000.0) * st     # um -> nm
             # round-half-away-from-zero, matching the native writer's lround
             fx = x * 1000.0 + dx * ca - dy * sa
             fy = y * 1000.0 + dx * sa + dy * ca

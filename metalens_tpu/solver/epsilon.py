@@ -27,6 +27,7 @@ factorization; that refinement slots in here without touching propagation.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import cpx
@@ -136,9 +137,23 @@ def dense_difference_grid(Dx: int, Dy: int):
 
 def traced_gather_idx(mx, my, Dx: int, Dy: int):
     """(N, N) flat indices into :func:`dense_difference_grid` for the
-    traced integer order vectors mx, my."""
+    traced integer order vectors mx, my.
+
+    PRECONDITION: every order difference must satisfy |mx_i - mx_j| <= Dx
+    and |my_i - my_j| <= Dy.  When mx/my are concrete this is checked; for
+    tracers it cannot be (JAX gathers CLAMP out-of-range indices, which
+    would silently substitute edge structure-factor values -- wrong physics
+    with no error), so callers must size (Dx, Dy) from the SAME order set
+    they pass here, as ``engine._order_bounds`` does."""
     dmx = mx[:, None] - mx[None, :]
     dmy = my[:, None] - my[None, :]
+    if not isinstance(dmx, jax.core.Tracer):    # concrete: check for free
+        dmx_c, dmy_c = np.asarray(dmx), np.asarray(dmy)
+        if np.abs(dmx_c).max() > Dx or np.abs(dmy_c).max() > Dy:
+            raise ValueError(
+                f"order differences (|dmx| <= {int(np.abs(dmx_c).max())}, "
+                f"|dmy| <= {int(np.abs(dmy_c).max())}) exceed the dense "
+                f"grid bounds (Dx={Dx}, Dy={Dy})")
     return (dmx + Dx) * (2 * Dy + 1) + (dmy + Dy)
 
 

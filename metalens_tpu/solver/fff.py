@@ -66,17 +66,26 @@ from .epsilon import _distinct_differences, ellipse_structure_toeplitz, \
 TWO_PI = 2.0 * np.pi
 
 
+def _raster_basis_for(dmx_u, dmy_u, R: int):
+    """Raster fractional coords + the DFT basis e^{-i g.r} over the given
+    difference list (numpy compile constants).  The single source for the
+    raster convention (half-pixel offset, 1/R^2 normalization) -- the
+    traced-vs-static parity pinned by test_program_structure depends on the
+    static and dense variants below staying identical."""
+    f = (np.arange(R) + 0.5) / R - 0.5
+    FX, FY = np.meshgrid(f, f, indexing="ij")
+    ang = -TWO_PI * (np.outer(FX.ravel(), dmx_u) + np.outer(FY.ravel(), dmy_u))
+    return (FX.ravel(), FY.ravel(), np.cos(ang) / (R * R),
+            np.sin(ang) / (R * R))
+
+
 @functools.lru_cache(maxsize=32)
 def _raster_and_basis(orders_key, R: int):
     """Static raster fractional coords and the DFT basis e^{-i g.r} over the
     distinct order differences.  Returns numpy arrays (compile constants)."""
     orders = np.asarray(orders_key, dtype=np.int64).reshape(-1, 2)
     dmx_u, dmy_u, gather = _distinct_differences(orders)
-    f = (np.arange(R) + 0.5) / R - 0.5
-    FX, FY = np.meshgrid(f, f, indexing="ij")
-    ang = -TWO_PI * (np.outer(FX.ravel(), dmx_u) + np.outer(FY.ravel(), dmy_u))
-    return (FX.ravel(), FY.ravel(), np.cos(ang) / (R * R),
-            np.sin(ang) / (R * R), gather)
+    return _raster_basis_for(dmx_u, dmy_u, R) + (gather,)
 
 
 @functools.lru_cache(maxsize=32)
@@ -87,11 +96,7 @@ def _dense_raster_and_basis(Dx: int, Dy: int, R: int):
     share it."""
     from .epsilon import dense_difference_grid
     dmx_u, dmy_u = dense_difference_grid(Dx, Dy)
-    f = (np.arange(R) + 0.5) / R - 0.5
-    FX, FY = np.meshgrid(f, f, indexing="ij")
-    ang = -TWO_PI * (np.outer(FX.ravel(), dmx_u) + np.outer(FY.ravel(), dmy_u))
-    return (FX.ravel(), FY.ravel(), np.cos(ang) / (R * R),
-            np.sin(ang) / (R * R))
+    return _raster_basis_for(dmx_u, dmy_u, R)
 
 
 def _normal_field(xyrra, X, Y, Lx, Ly):
@@ -226,6 +231,37 @@ def nv_blocks(E, Delta, Pxx, Pxy, Pyy, hermitian: bool = True):
     return Mxx, Mxy, Myy
 
 
+def nv_blocks_from_structure(S_struct, at_zero, eps_pillar, P_blocks,
+                             hermitian: bool = True, eps_bg=1.0,
+                             E: C | None = None):
+    """The whole NV eps build from a precomputed geometry structure matrix:
+    <<eps>> Toeplitz, <<1/eps>> inverse (same structure, reciprocal fill),
+    Delta, and the symmetrized blocks.  Returns (E, (Mxx, Mxy, Myy)).
+
+    The single source of the recipe shared by :func:`fff_eps_blocks`
+    (static orders) and both of the engine's traced-orders programs --
+    including the conditioning/routing rule: ``hermitian=True`` (lossless
+    dielectric) means <<1/eps>> is HPD, every leading block is HPD, and
+    the unpivoted cpx.solve contract holds (dispatching to the grouped
+    Pallas inverse on TPU -- round-3 chip A/B vs cho_solve in CLAUDE.md);
+    absorbing eps (``hermitian=False``) may have Re(1/eps) <= 0 diagonals,
+    voiding that contract, so it takes the pivoted full-embedding LU --
+    once per eps build, off the per-slab hot path, so the cost is noise.
+
+    Pass ``E`` if the caller already built the <<eps>> Toeplitz (avoids
+    re-emitting it; XLA would CSE the duplicate anyway)."""
+    if E is None:
+        E = toeplitz_from_structure(S_struct, at_zero, eps_pillar, eps_bg)
+    inv_fill = cpx.promote(1.0) / cpx.promote(eps_pillar)
+    inv_bg = cpx.promote(1.0) / cpx.promote(eps_bg)
+    E_recip = S_struct * (inv_fill - inv_bg) + cpx.promote(inv_bg) * at_zero
+    solve_h = cpx.solve if hermitian else cpx.solve_embed
+    inv_recip = solve_h(E_recip, cpx.eye(E.shape[0], E.re.dtype))
+    Delta = E - inv_recip
+    Pxx, Pxy, Pyy = P_blocks
+    return E, nv_blocks(E, Delta, Pxx, Pxy, Pyy, hermitian=hermitian)
+
+
 def fff_eps_blocks(orders, grating_period, lateral_period, xyrra,
                    eps_pillar, eps_bg=1.0, R: int = 64,
                    small_arg_only: bool = False, hermitian: bool = True):
@@ -237,25 +273,8 @@ def fff_eps_blocks(orders, grating_period, lateral_period, xyrra,
     S, at_zero = ellipse_structure_toeplitz(orders, grating_period,
                                             lateral_period, xyrra,
                                             small_arg_only)
-    E = toeplitz_from_structure(S, at_zero, eps_pillar, eps_bg)
-    inv_fill = cpx.promote(1.0) / cpx.promote(eps_pillar)
-    inv_bg = cpx.promote(1.0) / cpx.promote(eps_bg)
-    E_recip = S * (inv_fill - inv_bg) + cpx.promote(inv_bg) * at_zero
-    N = E.shape[0]
-    # hermitian=False means absorbing/metallic pillars: <<1/eps>> is then
-    # non-Hermitian and may have Re(1/eps) <= 0 diagonals, which voids the
-    # well-conditioned-leading-blocks contract of cpx.solve's unpivoted
-    # route.  Use the pivoted full-embedding LU -- this inverse runs once
-    # per eps build (off the per-slab hot path), so the cost is noise.
-    # hermitian=True (lossless dielectric): <<1/eps>> is Hermitian positive
-    # definite, so every leading block is HPD and the unpivoted cpx.solve
-    # contract holds -- and on TPU it dispatches to the grouped Pallas
-    # inverse, avoiding the Cholesky + triangular solves that run far
-    # below MXU rate (round-3 chip A/B in CLAUDE.md).
-    solve_h = cpx.solve if hermitian else cpx.solve_embed
-    inv_recip = solve_h(E_recip, cpx.eye(N, E.re.dtype))
-    Delta = E - inv_recip
-    Pxx, Pxy, Pyy = normal_projector_toeplitz(
+    P_blocks = normal_projector_toeplitz(
         orders, grating_period, lateral_period, xyrra, R=R)
-    Mxx, Mxy, Myy = nv_blocks(E, Delta, Pxx, Pxy, Pyy, hermitian=hermitian)
+    E, (Mxx, Mxy, Myy) = nv_blocks_from_structure(
+        S, at_zero, eps_pillar, P_blocks, hermitian=hermitian, eps_bg=eps_bg)
     return E, Mxx, Mxy, Myy

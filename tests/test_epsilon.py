@@ -120,3 +120,17 @@ def test_traced_structure_matches_static():
                                           jnp.asarray(xyrra))
     for a, b in zip(P1, P0):
         np.testing.assert_allclose(cpx.to_np(a), cpx.to_np(b), atol=1e-14)
+
+
+def test_traced_gather_idx_rejects_undersized_bounds():
+    """Concrete order vectors exceeding the dense-grid bounds must raise
+    (JAX gathers clamp silently, which would be wrong physics)."""
+    import pytest
+    from metalens_tpu.solver.epsilon import traced_gather_idx
+    mx = np.array([0, 3, -3])
+    my = np.array([0, 1, -1])
+    traced_gather_idx(mx, my, 6, 2)          # fits: fine
+    with pytest.raises(ValueError):
+        traced_gather_idx(mx, my, 5, 2)      # |dmx| reaches 6 > 5
+    with pytest.raises(ValueError):
+        traced_gather_idx(mx, my, 6, 1)      # |dmy| reaches 2 > 1

@@ -153,3 +153,17 @@ def test_native_throughput_large_layout(tmp_path):
     dt = time.perf_counter() - t0
     assert os.path.getsize(path) > n * 20
     assert n / dt > 200_000  # > 200k shapes/sec (reference: ~10k/s + prints)
+
+
+def test_gds_rejects_bad_args_before_native_dispatch(tmp_path):
+    """Out-of-range segments/layer must raise a ValueError up front on BOTH
+    paths (the native writer would otherwise return an opaque error code,
+    or silently truncate the 16-bit layer field)."""
+    import pytest
+    xyrra = np.array([[0.0, 0.0, 100e-9, 100e-9, 0.0]])
+    for kw in ({"ellipse_segments": 2}, {"ellipse_segments": 9000},
+               {"layer": -1}, {"layer": 300}):
+        for use_native in (True, False):
+            with pytest.raises(ValueError):
+                make_gds(xyrra, str(tmp_path / "bad.gds"),
+                         use_native=use_native, **kw)

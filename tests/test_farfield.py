@@ -126,13 +126,16 @@ def test_high_na_grazing_bins():
     assert np.isfinite(np.where(np.isfinite(P), P, 0.0).sum())
 
 
+_trapz = getattr(np, "trapezoid", None) or np.trapz   # numpy<2 fallback
+
+
 def _J1(x):
     """Bessel J1 by its integral representation (vectorized trapezoid;
     ~1e-9 accurate here) -- an analytic anchor independent of the code
     under test."""
     tau = np.linspace(0.0, np.pi, 4001)
-    return np.trapezoid(np.cos(tau[None, :] - np.outer(x, np.sin(tau))),
-                        tau, axis=1) / np.pi
+    return _trapz(np.cos(tau[None, :] - np.outer(x, np.sin(tau))),
+                  tau, axis=1) / np.pi
 
 
 def test_circular_aperture_matches_airy_pattern():
@@ -175,8 +178,8 @@ def test_circular_aperture_matches_airy_pattern():
     # would fold in the pixelated disk's spectral tail, ~2% here)
     def _J0(x):
         tau = np.linspace(0.0, np.pi, 4001)
-        return np.trapezoid(np.cos(np.outer(x, np.sin(tau))), tau,
-                            axis=1) / np.pi
+        return _trapz(np.cos(np.outer(x, np.sin(tau))), tau,
+                      axis=1) / np.pi
 
     def encircled(v):
         return 1.0 - _J0([v])[0] ** 2 - _J1([v])[0] ** 2
