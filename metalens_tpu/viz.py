@@ -187,3 +187,41 @@ def show_collection_graphs(gc, with_efficiencies=False,
         except ImportError:
             pass  # PIL unavailable: keep the PNG frames
     return filenames
+
+
+def plot_farfield(P, ux, uy, n_glass=1.0, log_floor=1e-6, title=None):
+    """Angular power map of a far field (output of
+    :func:`metalens_tpu.farfield.farfield`) on the (ux, uy) direction-cosine
+    disk, log-scaled over ``log_floor`` of the peak, with the |u| = 1 and
+    |u| = 1/n_glass (air-escape / total-internal-reflection) circles drawn.
+
+    The reference had no far-field plot at all -- its only pattern check
+    was plotting near-field phase by hand (``lens_center.py:181-184``).
+    Returns the figure."""
+    plt = _plt()
+    P = np.asarray(P, dtype=float)
+    P = np.where(np.isfinite(P), P, 0.0)
+    ux = np.asarray(ux).reshape(-1)
+    uy = np.asarray(uy).reshape(-1)
+    # DFT ordering isn't monotone: sort both axes for imshow
+    ix, iy = np.argsort(ux), np.argsort(uy)
+    P = P[np.ix_(ix, iy)]
+    ux, uy = ux[ix], uy[iy]
+    peak = P.max()
+    img = np.log10(np.maximum(P / peak, log_floor) if peak > 0 else
+                   np.full_like(P, log_floor))
+    fig = plt.figure()
+    plt.imshow(img.T, origin="lower", aspect="equal",
+               extent=correct_imshow_extent(img.T, ux[0], ux[-1],
+                                            uy[0], uy[-1]),
+               cmap="inferno", vmin=np.log10(log_floor), vmax=0.0)
+    plt.colorbar(label="log10(P / peak)")
+    th = np.linspace(0, 2 * np.pi, 361)
+    plt.plot(np.cos(th), np.sin(th), "w--", lw=0.8)
+    if n_glass > 1.0:
+        plt.plot(np.cos(th) / n_glass, np.sin(th) / n_glass, "c:", lw=0.8)
+    plt.xlabel("ux")
+    plt.ylabel("uy")
+    if title:
+        plt.title(title)
+    return fig

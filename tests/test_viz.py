@@ -92,3 +92,28 @@ def test_export_to_lumerical_series(tmp_path):
     assert not os.path.isfile(os.path.join(d, "grating_setup2.txt"))
     setup = open(os.path.join(d, "grating_setup0.txt")).read().split()
     assert setup[0] == "1"  # FOM-mode file with angle_in_air
+
+
+def test_plot_farfield():
+    """plot_farfield renders a tilted-plane-wave far field without error
+    and marks the escape circles."""
+    import numpy as np
+    from metalens_tpu.viz import plot_farfield
+    from metalens_tpu.farfield import farfield
+    from metalens_tpu import units as nu
+    from metalens_tpu.units import nm
+
+    LAM, NG = 580 * nm, 1.459
+    n_pts, spacing = 64, LAM / 2.2
+    xs = (np.arange(n_pts) - n_pts / 2) * spacing
+    X, Y = np.meshgrid(xs, xs, indexing="ij")
+    kg = 2 * np.pi * NG / LAM
+    Ex = np.exp(1j * kg * 0.3 * X)
+    Hy = NG / nu.Z0 * np.sqrt(1 - 0.3 ** 2) * Ex
+    zero = np.zeros_like(Ex)
+    P, total_P, ux, uy, dux, duy = farfield(Ex, zero, zero, Hy, xs, xs,
+                                            LAM, NG)
+    fig = plot_farfield(P, ux, uy, n_glass=NG, title="test")
+    assert fig is not None
+    import matplotlib.pyplot as plt
+    plt.close(fig)
