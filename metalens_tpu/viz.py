@@ -225,3 +225,43 @@ def plot_farfield(P, ux, uy, n_glass=1.0, log_floor=1e-6, title=None):
     if title:
         plt.title(title)
     return fig
+
+
+def plot_nearfield(Ex, x_pts, y_pts, kind="phase", title=None):
+    """Near-field map over the aperture: ``kind`` in ('phase', 'abs',
+    'power').  ``Ex`` may be a cpx.C pair or host complex array (any one
+    field component / Poynting map).
+
+    This is the reference's center/periphery phase-alignment calibration
+    made reusable (``lens_center.py:181-184``, ``design_collimator.py:
+    132-135`` plot near-field phase by hand to verify the +pi hex-grid
+    convention and ring seams).  Returns the figure."""
+    plt = _plt()
+    try:
+        from .solver import cpx
+        arr = cpx.to_np(Ex)
+    except (AttributeError, TypeError):
+        arr = np.asarray(Ex)
+    if kind == "phase":
+        img, cmap, label = np.angle(arr), "twilight", "arg(Ex) [rad]"
+    elif kind == "abs":
+        img, cmap, label = np.abs(arr), "viridis", "|Ex|"
+    elif kind == "power":
+        img, cmap, label = np.abs(arr) ** 2, "inferno", "|Ex|^2"
+    else:
+        raise ValueError(f"kind must be 'phase', 'abs' or 'power': {kind!r}")
+    x_pts = np.asarray(x_pts)
+    y_pts = np.asarray(y_pts)
+    fig = plt.figure()
+    plt.imshow(img.T, origin="lower", aspect="equal",
+               extent=correct_imshow_extent(img.T, x_pts[0] / 1e-6,
+                                            x_pts[-1] / 1e-6,
+                                            y_pts[0] / 1e-6,
+                                            y_pts[-1] / 1e-6),
+               cmap=cmap)
+    plt.colorbar(label=label)
+    plt.xlabel("x [um]")
+    plt.ylabel("y [um]")
+    if title:
+        plt.title(title)
+    return fig

@@ -117,3 +117,21 @@ def test_plot_farfield():
     assert fig is not None
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_plot_nearfield_kinds():
+    import numpy as np
+    import pytest
+    from metalens_tpu.viz import plot_nearfield
+    from metalens_tpu.solver import cpx
+    import matplotlib.pyplot as plt
+
+    x = np.linspace(-5e-6, 5e-6, 24)
+    E = np.exp(1j * np.add.outer(x, x) * 1e6)
+    for field in (E, cpx.from_np(E)):        # host complex AND cpx.C pair
+        for kind in ("phase", "abs", "power"):
+            fig = plot_nearfield(field, x, x, kind=kind, title=kind)
+            assert fig is not None
+            plt.close(fig)
+    with pytest.raises(ValueError):
+        plot_nearfield(E, x, x, kind="bogus")
