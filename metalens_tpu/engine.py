@@ -371,7 +371,10 @@ def _characterize_program(N: int, Dx: int, Dy: int, n_slabs: int,
                 hermitian=hermitian_eps, E=E)
         else:
             M_blocks = ()
-        Einv = cpx.solve(E, cpx.eye(N, E.re.dtype))
+        # same routing as layer_smatrix: HPD fast path for lossless eps,
+        # pivoted embedding for absorbing
+        solve_e = cpx.solve if hermitian_eps else cpx.solve_embed
+        Einv = solve_e(E, cpx.eye(N, E.re.dtype))
         return E, Einv, M_blocks
 
     def run_one(xyrra, orders_j, i0, Lx, Ly, h, E, Einv, M_blocks, eps_g,

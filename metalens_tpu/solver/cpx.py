@@ -384,7 +384,10 @@ def _pallas_eligible(A: C) -> bool:
         if jax.default_backend() == "cpu":
             return False
         dd = jax.config.jax_default_device
-        if dd is not None and getattr(dd, "platform", None) == "cpu":
+        # jax.default_device accepts a Device OR a platform string/object
+        # ('cpu'); cover both forms
+        if dd is not None and (getattr(dd, "platform", None) == "cpu"
+                               or str(dd).lower().startswith("cpu")):
             return False
         return True
     except RuntimeError:

@@ -288,7 +288,10 @@ def pad_size(n: int, gj_base=None):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def inv_pallas(A: C, interpret: bool = False) -> C:
     """Inverse of a well-conditioned complex matrix (cpx C, n <= 256) via
-    the fused VMEM kernel.  float32 only; pads to 128/256 internally."""
+    the fused VMEM kernel.  float32 only; pads to the nearest usable
+    sublane-aligned size via :func:`pad_size` (112 for the production
+    n=100, 224 for the characterize-grade n=200 at the default GJ base
+    56)."""
     n = A.shape[-1]
     P = pad_size(n)
     batched = A.ndim == 3

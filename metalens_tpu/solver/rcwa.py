@@ -322,9 +322,13 @@ def star_blockdiag_dense(A: BlockSMatrix, B: SMatrix,
     are ``None``.  The engine's consumers only ever read ``s11`` (FOM,
     transmission) and ``s21`` (characterize, reflection) of the final cell
     S-matrix, so the composite's back-illumination blocks -- and the dense
-    matmuls that build them -- are dead code there."""
-    n2 = B.s11.shape[0]
-    I = cpx.eye(n2, B.s11.re.dtype)
+    matmuls that build them -- are dead code there.
+
+    ``B`` may itself have None blocks (a partial inner result), as long as
+    the blocks this call actually reads are present: s21 always; s11 for
+    s11' or s12'; s12 for s12'; s22 for s12'/s22'."""
+    n2 = B.s21.shape[0]
+    I = cpx.eye(n2, B.s21.re.dtype)
     A12B21 = _left_bmul(A.s12, B.s21)
     X0 = cpx.solve(I - A12B21, I)
     XA11 = _right_bmul(X0, A.s11)
@@ -454,8 +458,9 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
     both faces (convert with :func:`interface_smatrix` to physical bases).
 
     ``hermitian_eps=False`` must be passed for absorbing pillar materials
-    (complex eps): the Toeplitz matrix is then non-Hermitian and its inverse
-    uses LU instead of Cholesky."""
+    (complex eps): the Toeplitz matrix is then non-Hermitian, so its
+    inverse takes the pivoted full-embedding LU (once per layer build, off
+    the per-slab hot path) instead of the unpivoted fast path."""
     if n_slabs & (n_slabs - 1) or n_slabs < 1:
         raise ValueError(f"n_slabs must be a power of two (doubling "
                          f"assembly), got {n_slabs}")
@@ -465,11 +470,10 @@ def layer_smatrix(E: C, Kx, Ky, k0h, n_slabs: int, taylor_terms: int,
     # cpx.solve contract holds (HPD leading blocks), and on TPU it routes
     # to the grouped Pallas inverse instead of Cholesky + triangular
     # solves (round-3 chip A/B; the round-2 "cho stays" note predates the
-    # grouped kernel).  Non-Hermitian (absorbing) eps also uses cpx.solve,
-    # as before.  A caller sweeping many incidence directions over one
-    # geometry can pass a precomputed Einv (it is u-independent).
+    # grouped kernel).  A caller sweeping many incidence directions over
+    # one geometry can pass a precomputed Einv (it is u-independent).
     if Einv is None:
-        Einv = cpx.solve(E, I)
+        Einv = (cpx.solve if hermitian_eps else cpx.solve_embed)(E, I)
     F, G = build_FG(E, Einv, Kx, Ky, M_blocks)
     t = k0h / n_slabs
     T = thin_slab_T_blocks(F, G, t, taylor_terms)
@@ -583,10 +587,10 @@ def cell_smatrix_with_eps(orders, E: C, grating_period, lateral_period,
         wavelength, ux, uy, n_slabs, taylor_terms, branch_eps, M_blocks,
         hermitian_eps)
     # the outer star's block-by-block dependencies on the inner result:
-    # X0 <- s21 (always); s11 <- s11; s21 <- s21; s12 <- s12, s22;
-    # s22 <- s21, s22
+    # X0 <- s21 (always); s11 <- s11; s21 <- s21; s12 <- s11, s12, s22
+    # (s12' = B.s12 + B.s11 @ X0 A.s12 B.s22); s22 <- s21, s22
     inner = {"s21"}
-    if "s11" in outputs:
+    if "s11" in outputs or "s12" in outputs:
         inner.add("s11")
     if "s12" in outputs or "s22" in outputs:
         inner.add("s22")

@@ -175,7 +175,11 @@ def test_cell_smatrix_partial_outputs():
     for fff in (False, True):
         full, _, _ = rcwa.cell_smatrix(*args, n_slabs=2, taylor_terms=12,
                                        fff=fff)
-        for outputs in [("s11",), ("s11", "s21")]:
+        # every single block and the engine combinations: the inner-star
+        # dependency map must request exactly what the outer star reads
+        # (a missing dependency crashes; the s12 <- s11 edge was once lost)
+        for outputs in [("s11",), ("s21",), ("s12",), ("s22",),
+                        ("s11", "s21"), ("s12", "s22")]:
             part, _, _ = rcwa.cell_smatrix(*args, n_slabs=2,
                                            taylor_terms=12, fff=fff,
                                            outputs=outputs)
