@@ -88,7 +88,11 @@ def design_center(hgs, source_distance, radius, wavelength=WAVELENGTH):
     (reference ``design_collimator.py:120-137``).  Returns
     lens_center_summary [[x, y, index], ...]."""
     assert isinstance(hgs, HexGridSet)
-    xy = hexagonal_grid(PITCH, radius, fourfold_symmetry=False)
+    # Lay sites on the SET's own lattice (hgs.sep), not the module default
+    # PITCH: the stitcher inverts site positions analytically against
+    # hexgridset.sep (nearfield._hex_site_table), so a sep != PITCH set on
+    # the PITCH lattice would be mis-spaced and fail the lattice inversion.
+    xy = hexagonal_grid(hgs.sep, radius, fourfold_symmetry=False)
     if xy.shape[0] == 0:
         return np.zeros((0, 3))
     r = np.hypot(xy[:, 0], xy[:, 1])

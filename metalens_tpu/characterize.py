@@ -52,42 +52,14 @@ class AmpInterpolator:
         return cpx.to_np(self.pair(pts))
 
     def pair(self, pts) -> cpx.C:
+        # one-channel view of the shared weight/gather kernels below, so the
+        # host interpolator and the jitted stitcher path can never diverge
         pts = jnp.asarray(pts)
         if pts.ndim == 1:
             pts = pts[None, :]
-        out = self._interp(pts)
-        return cpx.C(out[:, 0], out[:, 1])
-
-    def _interp(self, pts):
-        idxs, ws = [], []
-        for ax, g in enumerate(self.grids):
-            x = pts[:, ax]
-            if g.shape[0] == 1:
-                idxs.append(jnp.zeros(x.shape, dtype=jnp.int32))
-                ws.append(jnp.zeros(x.shape))
-                continue
-            i = jnp.clip(jnp.searchsorted(g, x, side="right") - 1,
-                         0, g.shape[0] - 2)
-            w = (x - g[i]) / (g[i + 1] - g[i])
-            w = jnp.clip(w, 0.0, 1.0)
-            idxs.append(i)
-            ws.append(w)
-        ndim = len(self.grids)
-        out = jnp.zeros((pts.shape[0], 2), dtype=self.values.dtype)
-        for corner in range(2 ** ndim):
-            weight = jnp.ones(pts.shape[0])
-            coords = []
-            for ax in range(ndim):
-                hi = (corner >> ax) & 1
-                if self.grids[ax].shape[0] == 1:
-                    coords.append(idxs[ax])
-                    if hi:
-                        weight = weight * 0.0
-                    continue
-                coords.append(idxs[ax] + hi)
-                weight = weight * jnp.where(hi, ws[ax], 1.0 - ws[ax])
-            out = out + weight[:, None] * self.values[tuple(coords)]
-        return out
+        idxs, ws = interp_weights(self.grids, pts)
+        out = interp_gather(self.values[None], self.grids, idxs, ws)
+        return cpx.C(out.re[0], out.im[0])
 
 
 def interp_weights(grids, pts):

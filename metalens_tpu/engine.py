@@ -428,7 +428,7 @@ def characterize_grating(g, ux_min, ux_max, uy_min, uy_max, u_steps: int,
     """
     assert convert_to_xy, "raw s/p output retired; x/y is the native basis"
     rdtype = rdtype or _default_rdtype()
-    wavelengths = ([wavelength] if np.isscalar(wavelength)
+    wavelengths = ([float(wavelength)] if np.ndim(wavelength) == 0
                    else list(wavelength))
     orders, n_slabs, taylor, hermitian = static_solve_config(
         g, wavelengths, numG)

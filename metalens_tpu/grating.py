@@ -255,7 +255,8 @@ class Grating:
         if append and hasattr(self, "data"):
             # accumulate across wavelengths (RGB databases); replace any
             # prior entries at the newly computed wavelength(s)
-            wls = ({round(wavelength / nm)} if np.isscalar(wavelength)
+            wls = ({round(float(wavelength) / nm)}
+                   if np.ndim(wavelength) == 0
                    else {round(w / nm) for w in wavelength})
             self.data = [e for e in self.data
                          if round(e["wavelength_in_nm"]) not in wls] + new_data

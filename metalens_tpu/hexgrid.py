@@ -98,7 +98,8 @@ class HexGridSet:
             g.characterize(wavelength=wavelength, numG=numG,
                            just_normal=just_normal, append=append, **u_args)
 
-        lam0 = wavelength if np.isscalar(wavelength) else wavelength[0]
+        # np.ndim handles 0-d arrays, which np.isscalar does not
+        lam0 = wavelength if np.ndim(wavelength) == 0 else wavelength[0]
         wl_nm = round(lam0 / nm)
         x_amp_list = []
         for g in self.grating_list:

@@ -137,7 +137,10 @@ def _hex_site_table(lens_center_summary, pitch):
 
 def _nearest_center_site(x, y, table, n1_min, n2_min, pitch, site_xy):
     """Index of the nearest stored hex site for each (x, y), via analytic
-    lattice rounding with a 3x3 candidate neighborhood (replaces cKDTree)."""
+    lattice rounding with a 4x4 candidate neighborhood (replaces cKDTree).
+    Returns (index, found): ``found`` is False where NO stored site lies in
+    the candidate window (the index there is a placeholder 0, not the
+    global nearest) -- callers must repair or mask those points."""
     n2f = 2 * x / (pitch * math.sqrt(3))
     n1f = y / pitch - n2f / 2.0
     n1r = jnp.floor(n1f).astype(jnp.int32)
@@ -159,7 +162,23 @@ def _nearest_center_site(x, y, table, n1_min, n2_min, pitch, site_xy):
             take = d2 < best_d2
             best_d2 = jnp.where(take, d2, best_d2)
             best_idx = jnp.where(take, safe_row, best_idx)
-    return best_idx
+    return best_idx, jnp.isfinite(best_d2)
+
+
+def _lens_max_radius(lens_periphery_summary, lens_center_summary, hexgridset):
+    """Aperture half-width of a design: outer ring edge, or the center hex
+    extent + one cell margin for a center-only lens."""
+    if lens_periphery_summary is not None:
+        return lens_periphery_summary["r_max_list"][-1]
+    return (np.hypot(lens_center_summary[:, 0],
+                     lens_center_summary[:, 1]).max() + hexgridset.sep)
+
+
+def _default_aperture_pts(wavelength, lens_max_r):
+    """Default uniform aperture grid: spacing < lambda/2 (Nyquist for the
+    propagating spectrum) with an FFT-friendly point count."""
+    num = good_fft_number(2 * lens_max_r / (wavelength / 2.2))
+    return np.linspace(-lens_max_r, lens_max_r, num=num)
 
 
 def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
@@ -207,24 +226,17 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     else:
         assert lens_center_summary is not None and len(lens_center_summary) > 0
         r_min_list = np.zeros((0,))
-        lens_max_r = (np.hypot(lens_center_summary[:, 0],
-                               lens_center_summary[:, 1]).max()
-                      + hexgridset.sep)
+        lens_max_r = _lens_max_radius(None, lens_center_summary, hexgridset)
         n_glass = hexgridset.n_glass
         gratingcollection_list = []
     if n_glass == 0:
         n_glass = n_glass_table(wavelength_in_nm)
 
     if x_pts is None:
-        num_x = good_fft_number(2 * lens_max_r / (wavelength / 2.2))
-        x_pts = np.linspace(-lens_max_r, lens_max_r, num=num_x)
-    else:
-        num_x = len(x_pts)
+        x_pts = _default_aperture_pts(wavelength, lens_max_r)
     if y_pts is None:
-        num_y = good_fft_number(2 * lens_max_r / (wavelength / 2.2))
-        y_pts = np.linspace(-lens_max_r, lens_max_r, num=num_y)
-    else:
-        num_y = len(y_pts)
+        y_pts = _default_aperture_pts(wavelength, lens_max_r)
+    num_x, num_y = len(x_pts), len(y_pts)
     for l in (x_pts, y_pts):
         diffs = np.diff(l)
         assert 0 < diffs[0] < wavelength / 2
@@ -369,12 +381,37 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     Hy = Hxp * sinr + Hyp * cosr
 
     # ---- center accumulation ----
-    if lens_center_summary is not None and len(lens_center_summary) > 0:
-        site_xy = jnp.asarray(np.asarray(lens_center_summary)[:, 0:2])
+    # skip the whole block (site lookup + scan-over-orders dispatch) when
+    # this aperture slab holds no center points, mirroring the periphery
+    # loop's occupancy guard above
+    run_center = lens_center_summary is not None and len(lens_center_summary) > 0
+    if run_center:
+        stats = np.asarray(_region_stats(in_center, ux, uy, ux))
+        run_center = stats[0] > 0
+    if run_center:
+        site_xy_np = np.asarray(lens_center_summary)[:, 0:2]
+        site_xy = jnp.asarray(site_xy_np)
         pitch = hexgridset.sep
         table, n1_min, n2_min = _hex_site_table(lens_center_summary, pitch)
-        rows = _nearest_center_site(X, Y, table, n1_min, n2_min, pitch,
-                                    site_xy)
+        rows, found = _nearest_center_site(X, Y, table, n1_min, n2_min,
+                                           pitch, site_xy)
+        n_missing = int(jnp.sum(in_center & ~found))
+        if n_missing:
+            # a center point whose 4x4 analytic candidate window holds no
+            # stored site (possible in the seam margin near lens_max_r):
+            # brute-force the few offenders on host so they get the TRUE
+            # nearest site, matching the reference's global cKDTree lookup
+            # (reference nearfield.py:363-367) instead of a silent site-0
+            # fallback with a bogus off-center phase.
+            miss = np.argwhere(np.asarray(in_center & ~found))
+            Xm = np.asarray(X)[miss[:, 0], miss[:, 1]]
+            Ym = np.asarray(Y)[miss[:, 0], miss[:, 1]]
+            d2 = ((Xm[:, None] - site_xy_np[None, :, 0]) ** 2
+                  + (Ym[:, None] - site_xy_np[None, :, 1]) ** 2)
+            rows_np = np.array(rows)  # np.asarray of a CPU jax array can be
+            # a read-only zero-copy view; force a writable copy
+            rows_np[miss[:, 0], miss[:, 1]] = np.argmin(d2, axis=1)
+            rows = jnp.asarray(rows_np)
         cell_center_x = site_xy[rows, 0]
         cell_center_y = site_xy[rows, 1]
         which_grating = jnp.asarray(
@@ -389,16 +426,14 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
         x_period = hexgridset.grating_list[0].grating_period
         y_period = hexgridset.grating_list[0].lateral_period
         b = hexgridset.interpolator_bounds
-        stats = np.asarray(_region_stats(in_center, ux, uy, ux))
-        if stats[0] > 0:
-            for i, (name, lo, hi) in enumerate((("ux", b[0], b[1]),
-                                                ("uy", b[2], b[3]))):
-                if stats[1 + i] < lo:
-                    raise ValueError(f"need to calculate at smaller {name}!",
-                                     float(stats[1 + i]), lo)
-                if stats[4 + i] > hi:
-                    raise ValueError(f"need to calculate at bigger {name}!",
-                                     float(stats[4 + i]), hi)
+        for i, (name, lo, hi) in enumerate((("ux", b[0], b[1]),
+                                            ("uy", b[2], b[3]))):
+            if stats[1 + i] < lo:
+                raise ValueError(f"need to calculate at smaller {name}!",
+                                 float(stats[1 + i]), lo)
+            if stats[4 + i] > hi:
+                raise ValueError(f"need to calculate at bigger {name}!",
+                                 float(stats[4 + i]), hi)
         pts = jnp.stack([ux.ravel(), uy.ravel(),
                          which_grating.astype(jnp.float64
                                               if X.dtype == jnp.float64
@@ -458,7 +493,17 @@ def build_nearfield_big(source_x, source_y, source_z, source_pol, wavelength,
     reference ``nearfield.py:482-516``).  On TPU the single-call version is
     preferred (HBM-resident); use the sharded runner in
     :mod:`metalens_tpu.parallel` for multi-chip apertures."""
-    y_pts_at_a_time = max(1, int(pts_at_a_time / x_pts.size))
+    if x_pts is None or y_pts is None:
+        lens_max_r = _lens_max_radius(lens_periphery_summary,
+                                      lens_center_summary, hexgridset)
+        if x_pts is None:
+            x_pts = _default_aperture_pts(wavelength, lens_max_r)
+        if y_pts is None:
+            y_pts = _default_aperture_pts(wavelength, lens_max_r)
+    x_pts, y_pts = np.asarray(x_pts), np.asarray(y_pts)
+    # each slab needs >= 2 columns (build_nearfield derives the grid
+    # spacing from consecutive points)
+    y_pts_at_a_time = max(2, int(pts_at_a_time / x_pts.size))
     Ex = np.zeros((x_pts.size, y_pts.size), dtype=complex)
     Ey = np.zeros_like(Ex)
     Hx = np.zeros_like(Ex)
@@ -468,6 +513,8 @@ def build_nearfield_big(source_x, source_y, source_z, source_pol, wavelength,
     n_glass = None
     while start < y_pts.size:
         end = min(start + y_pts_at_a_time, y_pts.size)
+        if y_pts.size - end == 1:
+            end = y_pts.size   # absorb a would-be single-column final slab
         if progress:
             print("running y-index", start, "to", end, "out of", y_pts.size,
                   flush=True)
