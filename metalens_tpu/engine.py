@@ -67,18 +67,41 @@ def enable_compilation_cache(cache_dir: str | None = None,
     return cache_dir
 
 
-def small_u_ok(g, orders) -> bool:
-    """True when every Bessel argument u = |G'| r stays safely below the
-    J1 rational-fit range (|u| < 8) for this cell's concrete geometry, so
-    the asymptotic branch can be compiled out (30% headroom for geometry
-    drift during optimization)."""
+def _diff_g_max(g, orders) -> float:
+    """Largest |G'| over the difference-order set (twice the max |G| of the
+    truncation) -- the Bessel argument is u = |G'| * r."""
     orders = np.asarray(orders)
     gx = orders[:, 0] * (2 * pi / g.grating_period)
     gy = orders[:, 1] * (2 * pi / g.lateral_period)
-    # difference set doubles the max |G|
-    g_max = 2.0 * float(np.sqrt(gx ** 2 + gy ** 2).max())
-    r_max = float(np.abs(np.asarray(g.xyrra_list)[:, 2:4]).max())
-    return g_max * 1.3 * r_max < 7.5
+    return 2.0 * float(np.sqrt(gx ** 2 + gy ** 2).max())
+
+
+def small_u_ok(g, orders, xyrra=None) -> bool:
+    """True when every Bessel argument u = |G'| r stays safely below the
+    J1 rational-fit range (|u| < 8) for this cell's concrete geometry, so
+    the asymptotic branch can be compiled out (30% headroom for geometry
+    drift during optimization).  ``xyrra`` overrides the grating's own
+    geometry (judge the radii actually being evaluated)."""
+    xy = np.asarray(xyrra if xyrra is not None else g.xyrra_list)
+    r_max = float(np.abs(xy[..., 2:4]).max())
+    return _diff_g_max(g, orders) * 1.3 * r_max < 7.5
+
+
+def _small_u_now(small_u0: bool, g_max: float, xyrra) -> bool:
+    """Per-dispatch refinement of the build-time small_u decision: the
+    optimizer closures cache one program from the START geometry, but
+    accepted steps can grow a radius past the 30% headroom -- then the
+    compiled-out asymptotic branch would silently evaluate the |u| < 8 fit
+    out of range.  Checking the CONCRETE candidate radii here routes such
+    calls to the full-J1 program instead (one extra cached compile, exact
+    everywhere; both programs agree identically while u < 8)."""
+    if not small_u0:
+        return False
+    try:
+        r_max = float(np.abs(np.asarray(xyrra)[..., 2:4]).max())
+    except Exception:       # traced/abstract values: keep the build decision
+        return small_u0
+    return g_max * r_max < 7.5
 
 
 def _default_rdtype():
@@ -254,7 +277,8 @@ def fom_of_grating(g, target_wavelength=None, numG: int = 50,
     Dx, Dy = _order_bounds(orders)
     fn = _fom_program(len(orders), Dx, Dy, n_slabs,
                       taylor_terms or taylor, inph,
-                      False, small_u_ok(g, orders), fff, hermitian)
+                      False, small_u_ok(g, orders, xyrra=xyrra), fff,
+                      hermitian)
     xy = jnp.asarray(xyrra if xyrra is not None else g.xyrra_list,
                      dtype=rdtype)
     omx, omy, i0 = _traced_order_args(orders)
@@ -274,13 +298,16 @@ def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     Dx, Dy = _order_bounds(orders)
-    fn = _fom_program(len(orders), Dx, Dy, n_slabs,
-                      taylor_terms or taylor, inph,
-                      True, small_u_ok(g, orders), fff, hermitian)
+    small_u0 = small_u_ok(g, orders)
+    g_max = _diff_g_max(g, orders)
     omx, omy, i0 = _traced_order_args(orders)
     tgt_j = jnp.asarray(tgt, jnp.int32)
 
     def vg(xyrra):
+        fn = _fom_program(len(orders), Dx, Dy, n_slabs,
+                          taylor_terms or taylor, inph, True,
+                          _small_u_now(small_u0, g_max, xyrra), fff,
+                          hermitian)
         return fn(jnp.asarray(xyrra, dtype=rdtype), omx, omy, i0, tgt_j,
                   g.grating_period, g.lateral_period, g.cyl_height, *arrays)
     return vg
@@ -303,15 +330,17 @@ def fom_batch_fn(g, target_wavelength=None, numG: int = 50, terms=None,
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     Dx, Dy = _order_bounds(orders)
-    fn = _fom_program(len(orders), Dx, Dy, n_slabs,
-                      taylor_terms or taylor, inph,
-                      False, small_u_ok(g, orders), fff, hermitian,
-                      batched=True)
+    small_u0 = small_u_ok(g, orders)
+    g_max = _diff_g_max(g, orders)
     omx, omy, i0 = _traced_order_args(orders)
     tgt_j = jnp.asarray(tgt, jnp.int32)
     Lx, Ly, h = g.grating_period, g.lateral_period, g.cyl_height
 
     def run(xyrra_batch):
+        fn = _fom_program(len(orders), Dx, Dy, n_slabs,
+                          taylor_terms or taylor, inph, False,
+                          _small_u_now(small_u0, g_max, xyrra_batch), fff,
+                          hermitian, batched=True)
         return fn(jnp.asarray(xyrra_batch, dtype=rdtype), omx, omy, i0,
                   tgt_j, Lx, Ly, h, *arrays)
     return run

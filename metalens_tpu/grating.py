@@ -140,7 +140,7 @@ class Grating:
         from .serialization import save
         return save(self, path)
 
-    def write(self, directory, angle_in_air=None, index=None,
+    def write(self, directory, angle_in_air=None, index=None, replicas=False,
               ux_min=None, ux_max=None, uy_min=None, uy_max=None,
               u_steps=None, wavelength=None, numG=50):
         """Interop shim: write the reference's two-file job format
@@ -148,7 +148,13 @@ class Grating:
         ``grating.py:203-261``) into ``directory``.  The solver never reads
         these -- they exist so artifacts can be compared against a legacy
         S4 installation, or fed to external tools that consume the format
-        (e.g. the reference's Lumerical harness)."""
+        (e.g. the reference's Lumerical harness).
+
+        ``replicas`` as in :meth:`get_xyrra_list`: include boundary-crossing
+        periodic replica pillars, which a NON-periodic external simulation
+        volume (Lumerical FDTD) needs.  (The reference accepts this
+        parameter but never applies it -- the 'TODO - need for lumerical' at
+        its ``grating.py:209``; here it works.)"""
         import os
         os.makedirs(directory, exist_ok=True)
         sfx = str(index) if index is not None else ""
@@ -170,8 +176,10 @@ class Grating:
                         round(wavelength / nm) / 1000]
             for r in rows:
                 print(r, file=f)
+        xyrra = self.get_xyrra_list(
+            units="um,deg", replicas=(replicas if replicas else None))
         np.savetxt(os.path.join(directory, f"grating_xyrra_list{sfx}.txt"),
-                   self.xyrra_list_in_um_deg, delimiter=" ")
+                   xyrra, delimiter=" ")
 
     def copy(self):
         g = Grating(lateral_period=self.lateral_period,
@@ -235,8 +243,17 @@ class Grating:
         :mod:`metalens_tpu.solver.basis`); the solver computes the x/y
         response directly rather than solving s/p and converting.
         ``just_normal`` reproduces the reference's quadrant-mirroring trick
-        (``grating.py:386-391,464-472``)."""
+        (``grating.py:386-391,464-472``).
+
+        ``process``: a deferred handle from :meth:`run_lua_initiate` -- the
+        reference pattern of initiating many sweeps and collecting each with
+        ``characterize(process=h)`` (reference ``grating.py:389-405``).  The
+        sweep parameters are the INITIATE call's; this call's own sweep
+        arguments are ignored, exactly like the reference."""
         from .engine import characterize_grating
+        if process is not None:
+            assert not append, "append is not supported via a process handle"
+            return process()   # runs the deferred characterize, stores data
         if just_normal:
             ux_min = ux_max = uy_min = uy_max = 0.001
             u_steps = 1
@@ -504,8 +521,10 @@ class GratingCollection:
     # ----- solving: one batched device sweep replaces N processes -----
 
     def show_efficiencies(self, numG=100, plot=True):
-        """FOM of every member (reference ``grating.py:1059-1080``), computed
-        as one batched solve."""
+        """FOM of every member (reference ``grating.py:1059-1080``).  Members
+        differ in period (distinct order sets), so this is a loop of cached
+        jitted solves -- cheap in-process, vs the reference's one OS process
+        per member; see :func:`metalens_tpu.engine.fom_of_gratings`."""
         from .engine import fom_of_gratings
         foms = fom_of_gratings(self.grating_list,
                                target_wavelength=self.target_wavelength,
@@ -576,7 +595,7 @@ class GratingCollection:
                              lateral_period=lateral_period)
             g.write(directory,
                     angle_in_air=g.get_angle_in_air(self.target_wavelength),
-                    index=0)
+                    index=0, replicas=True)
             for fname in ("grating_setup1.txt", "grating_xyrra_list1.txt"):
                 p = os.path.join(directory, fname)
                 if os.path.isfile(p):
@@ -586,7 +605,7 @@ class GratingCollection:
         for g in self.grating_list:
             g.write(directory,
                     angle_in_air=g.get_angle_in_air(self.target_wavelength),
-                    index=i)
+                    index=i, replicas=True)
             i += 1
         for fname in (f"grating_setup{i}.txt", f"grating_xyrra_list{i}.txt"):
             p = os.path.join(directory, fname)

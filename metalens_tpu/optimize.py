@@ -346,21 +346,33 @@ def optimize_gradient(mygrating_start, target_wavelength, steps: int = 120,
     best_fom = fom_of_grating(g, target_wavelength=target_wavelength,
                               numG=numG, terms=terms)
     best_xyrra = np.array(g.xyrra_list, copy=True)
-    for step in range(steps):
-        fom, pen, grad_total = loss_and_grad(x)
-        updates, state = opt.update(-grad_total, state)
-        x = optax.apply_updates(x, updates * scale)
+
+    def consider(xyrra, fom_at_x, pen, step):
         # feasibility bookkeeping on the host: keep the best iterate that
         # passes the exact (non-smoothed) validate()
-        g.xyrra_list = np.asarray(x).copy()
+        nonlocal best_fom, best_xyrra
+        g.xyrra_list = np.asarray(xyrra).copy()
         if validate(g, similar_to=similar_to, how_similar=how_similar):
-            f_new = float(np.real(vg(x)[0]))
+            f_new = float(np.real(fom_at_x))
             if f_new > best_fom:
                 best_fom = f_new
-                best_xyrra = np.asarray(x).copy()
+                best_xyrra = np.asarray(xyrra).copy()
                 if verbose:
                     print(f"#step {step}: fom={best_fom:.6f} "
                           f"pen={float(pen):.3g}")
+
+    for step in range(steps):
+        # one value_and_grad dispatch per iterate: this evaluation both
+        # scores the PREVIOUS update's iterate and drives the next update
+        # (re-probing the fresh iterate after the update would double the
+        # dominant cost of the gradient path)
+        fom, pen, grad_total = loss_and_grad(x)
+        if step > 0:     # step 0 is the start geometry, already in best
+            consider(x, fom, pen, step)
+        updates, state = opt.update(-grad_total, state)
+        x = optax.apply_updates(x, updates * scale)
+    # the final update's iterate has not been scored yet
+    consider(x, vg(x)[0], 0.0, steps)
     g.xyrra_list = best_xyrra
     g.standardize()
     assert validate(g, similar_to=similar_to, how_similar=how_similar)
@@ -406,8 +418,15 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
     density in the collection for a much cheaper design stage --
     GratingCollection.get_one blends between members either way.
     """
-    assert (start_grating_collection is None) != (
-        start_grating is None and target_wavelength is None)
+    if start_grating_collection is None:
+        if start_grating is None or target_wavelength is None:
+            raise ValueError(
+                "provide BOTH start_grating and target_wavelength, or a "
+                "start_grating_collection")
+    elif start_grating is not None or target_wavelength is not None:
+        raise ValueError(
+            "start_grating_collection is exclusive of start_grating/"
+            "target_wavelength (the collection carries its own)")
 
     if start_grating_collection is not None:
         all_gratings = start_grating_collection

@@ -157,3 +157,48 @@ def test_run_lua_initiate_getresult_shim():
                                 terms=terms)
     val = g.run_lua_getresult(handle)
     assert val == g.fom(target_wavelength=580 * nm, numG=20, terms=terms)
+
+
+def test_write_replicas_includes_boundary_pillars(tmp_path):
+    """replicas=True must add the periodic replicas of boundary-crossing
+    pillars (what a non-periodic Lumerical volume needs; the reference
+    documents this but left it TODO, reference grating.py:209)."""
+    g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                grating_period=1200 * nm,
+                xyrra_list_in_nm_deg=np.array(
+                    [[590., 0., 100., 90., 0.],      # sticks across x edge
+                     [0., 0., 80., 80., 0.]]))
+    g.write(str(tmp_path), angle_in_air=0.5)
+    base = np.atleast_2d(np.loadtxt(tmp_path / "grating_xyrra_list.txt"))
+    g.write(str(tmp_path), angle_in_air=0.5, replicas=True)
+    repl = np.atleast_2d(np.loadtxt(tmp_path / "grating_xyrra_list.txt"))
+    assert base.shape[0] == 2
+    assert repl.shape[0] > base.shape[0]      # the x-edge replica appears
+    # the replica of pillar 0 sits one grating period to the left
+    xs = np.sort(repl[:, 0])
+    assert np.any(np.isclose(xs, 0.59 - 1.2, atol=1e-9))
+
+
+def test_characterize_process_handle_runs_deferred_sweep():
+    """Reference pattern: h = run_lua_initiate(<sweep args>);
+    g.characterize(process=h) collects THAT sweep (this call's own sweep
+    args are ignored), reference grating.py:389-405."""
+    g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                grating_period=1200 * nm,
+                xyrra_list_in_nm_deg=np.array([[0., 0., 120., 90., 0.]]))
+    h = g.run_lua_initiate(ux_min=0.2, ux_max=0.2, uy_min=0.0, uy_max=0.0,
+                           u_steps=1, wavelength=580 * nm, numG=25)
+    data = g.characterize(process=h, wavelength=450 * nm, numG=99)
+    assert data is g.data and len(data) > 0
+    # the initiate call's parameters won, not this call's
+    assert {round(e["wavelength_in_nm"]) for e in data} == {580}
+    assert all(abs(e["ux"] - 0.2) < 1e-12 for e in data)
+
+
+def test_vary_angle_argument_validation():
+    from metalens_tpu.optimize import vary_angle
+    g = simple_grating()
+    with pytest.raises(ValueError, match="target_wavelength"):
+        vary_angle(start_grating=g, end_angle=0.6, lens_type="cyl")
+    with pytest.raises(ValueError):
+        vary_angle(end_angle=0.6, lens_type="cyl")

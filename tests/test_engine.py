@@ -159,3 +159,33 @@ def test_one_program_serves_a_design_chain():
         keys.add(tuple(map(tuple, np.asarray(o).tolist())))
     assert len(keys) > 1
     assert all(np.isfinite(f) and 0 < f < 1 for f in foms)
+
+
+def test_small_u_guard_tracks_evaluated_geometry():
+    """The small_u (asymptotic-branch-compiled-out) decision must follow the
+    radii actually evaluated, not the start geometry: an xyrra override or
+    an optimizer step that grows a radius past the 30% headroom must
+    re-route to the full-J1 program, so the FOM equals the one a grating
+    built directly at that geometry gets."""
+    from metalens_tpu.engine import (small_u_ok, static_solve_config,
+                                     fom_batch_fn)
+    terms = [FomTerm(580 * nm, 1.0, 0, False)]
+    kw = dict(lateral_period=320 * nm, cyl_height=550 * nm,
+              target_wavelength=580 * nm, angle_in_air=30 * degree)
+    small = Grating(xyrra_list_in_nm_deg=np.array([[0., 0., 38., 38., 0.]]),
+                    **kw)
+    big_xyrra_nm = np.array([[0., 0., 145., 145., 0.]])
+    big = Grating(xyrra_list_in_nm_deg=big_xyrra_nm, **kw)
+    numG = 30
+    orders, *_ = static_solve_config(small, [580 * nm], numG)
+    assert small_u_ok(small, orders)          # fit-only program at start
+    assert not small_u_ok(big, orders)        # big radii need the full J1
+
+    f_direct = fom_of_grating(big, numG=numG, terms=terms)
+    f_override = fom_of_grating(small, numG=numG, terms=terms,
+                                xyrra=big.xyrra_list)
+    assert abs(f_override - f_direct) < 1e-12 * max(1.0, abs(f_direct))
+
+    fn = fom_batch_fn(small, numG=numG, terms=terms)
+    f_batched = float(np.asarray(fn(big.xyrra_list[None]))[0])
+    assert abs(f_batched - f_direct) < 1e-12 * max(1.0, abs(f_direct))
