@@ -65,9 +65,7 @@ def we_inv_blocks(Kx, Ky, Kz: C, n):
     """Blocks of the inverse map (amplitudes from transverse E).  The
     per-order 2x2 determinant is exactly 1/n^2 (since Kx^2+Ky^2+Kz^2 = n^2),
     so the inverse is analytic."""
-    A, B, Cb, D = we_blocks(Kx, Ky, Kz, n)
-    det = A * D - B * Cb
-    return D / det, -B / det, -Cb / det, A / det
+    return block_inv(we_blocks(Kx, Ky, Kz, n))
 
 
 def block_compose(b1, b2):
@@ -121,13 +119,21 @@ def incident_sp_amplitudes(ux, uy, pol):
 def sp_to_xy_coefficients(ux, uy):
     """The s/p -> x/y combination coefficients for incoming light in air
     (reference ``grating.py:447-451`` / ``S4conventions.py:105-127``).
-    Returns (x_p, x_s, y_p, y_s)."""
-    kap = jnp.sqrt(ux * ux + uy * uy)
-    uz = jnp.sqrt(1.0 - ux * ux - uy * uy)
-    x_p = ux / kap
-    x_s = -uy / (uz * kap)
-    y_p = -uy / kap
-    y_s = -ux / (uz * kap)
+    Returns (x_p, x_s, y_p, y_s).
+
+    Exactly-normal incidence takes the ux -> 0+ limit along +x
+    ((1, 0, 0, -1)), consistent with :func:`incident_sp_amplitudes`'s
+    normal special case (the generic formula is 0/0 there)."""
+    ux = jnp.asarray(ux)
+    uy = jnp.asarray(uy)
+    kap2 = ux * ux + uy * uy
+    normal = kap2 < 1e-18
+    kap = jnp.sqrt(jnp.where(normal, 1.0, kap2))
+    uz = jnp.sqrt(jnp.maximum(1.0 - kap2, 0.0))
+    x_p = jnp.where(normal, 1.0, ux / kap)
+    x_s = jnp.where(normal, 0.0, -uy / (uz * kap))
+    y_p = jnp.where(normal, 0.0, -uy / kap)
+    y_s = jnp.where(normal, -1.0, -ux / (uz * kap))
     return x_p, x_s, y_p, y_s
 
 

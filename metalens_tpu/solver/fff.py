@@ -79,16 +79,22 @@ def _raster_basis_for(dmx_u, dmy_u, R: int):
             np.sin(ang) / (R * R))
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=4)
 def _raster_and_basis(orders_key, R: int):
     """Static raster fractional coords and the DFT basis e^{-i g.r} over the
-    distinct order differences.  Returns numpy arrays (compile constants)."""
+    distinct order differences.  Returns numpy arrays (compile constants).
+
+    maxsize is small on purpose: one entry is O(R^2 x nDiff) float64 pairs
+    (~90 MB at R=64, numG~100), and the basis is only consumed at TRACE
+    time -- production chains hit one or two signatures, while a sweep over
+    many distinct static order sets would otherwise pin gigabytes of host
+    RAM (the traced/dense variant below exists for exactly that case)."""
     orders = np.asarray(orders_key, dtype=np.int64).reshape(-1, 2)
     dmx_u, dmy_u, gather = _distinct_differences(orders)
     return _raster_basis_for(dmx_u, dmy_u, R) + (gather,)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=4)
 def _dense_raster_and_basis(Dx: int, Dy: int, R: int):
     """As :func:`_raster_and_basis` but over the STATIC dense difference
     grid (see epsilon.dense_difference_grid): the basis does not depend on

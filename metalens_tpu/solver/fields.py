@@ -53,6 +53,9 @@ def fields_from_data(grating, data, x, y, z, x_or_y="x", wavelength=None,
     else:
         entries = [e for e in entries
                    if round(e["wavelength_in_nm"]) == round(wavelength / 1e-9)]
+        assert entries, (
+            f"no entries at wavelength {round(wavelength / 1e-9)} nm "
+            f"(database has {sorted(wl_nm)} nm)")
     uxs = {e["ux"] for e in entries}
     uys = {e["uy"] for e in entries}
     assert len(uxs) == 1 and len(uys) == 1, (
@@ -62,6 +65,12 @@ def fields_from_data(grating, data, x, y, z, x_or_y="x", wavelength=None,
     ng, _ = resolve_indices(grating.n_glass, grating.n_tio2, wavelength)
     ng = float(np.real(ng))
     k0 = 2 * pi / wavelength
+    if 0 < z < grating.cyl_height:
+        raise ValueError(
+            "point is inside the pillar layer (0 < z < cyl_height): the "
+            "amplitude database does not carry the near-zone modal fields "
+            "(the reference asserts the same, S4conventions.py "
+            "E_from_amplitudes)")
     transmitted = z > 0
     z_ref = z - grating.cyl_height if transmitted else z
     n_med = ng if transmitted else 1.0

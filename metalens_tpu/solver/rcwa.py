@@ -515,23 +515,35 @@ def cell_smatrix(orders, xyrra, grating_period, lateral_period, cyl_height,
     and their dense matmuls are never emitted.  Values of requested blocks
     are identical to the full computation (same graph, pinned by tests).
     """
+    E, M_blocks = build_layer_eps(orders, grating_period, lateral_period,
+                                  xyrra, eps_pillar,
+                                  eps_small_u=eps_small_u, fff=fff,
+                                  hermitian_eps=hermitian_eps)
+    return cell_smatrix_with_eps(orders, E, grating_period, lateral_period,
+                                 cyl_height, eps_glass, wavelength, ux, uy,
+                                 n_slabs=n_slabs, taylor_terms=taylor_terms,
+                                 branch_eps=branch_eps, M_blocks=M_blocks,
+                                 hermitian_eps=hermitian_eps, outputs=outputs)
+
+
+def build_layer_eps(orders, grating_period, lateral_period, xyrra,
+                    eps_pillar, eps_small_u: bool = False, fff: bool = False,
+                    hermitian_eps: bool = True):
+    """The shared eps-Toeplitz front end of the cell solves: returns
+    (E, M_blocks) -- the Laurent eps matrix plus, with ``fff``, the NV
+    factorization blocks (Mxx, Mxy, Myy); one place so the two entry points
+    (:func:`cell_smatrix`, :func:`cell_amplitudes`) cannot drift."""
     if fff:
         from .fff import fff_eps_blocks
         E, Mxx, Mxy, Myy = fff_eps_blocks(
             np.asarray(orders), grating_period, lateral_period, xyrra,
             eps_pillar, small_arg_only=eps_small_u,
             hermitian=hermitian_eps)
-        M_blocks = (Mxx, Mxy, Myy)
-    else:
-        E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,
-                                   lateral_period, xyrra, eps_pillar,
-                                   small_arg_only=eps_small_u)
-        M_blocks = None
-    return cell_smatrix_with_eps(orders, E, grating_period, lateral_period,
-                                 cyl_height, eps_glass, wavelength, ux, uy,
-                                 n_slabs=n_slabs, taylor_terms=taylor_terms,
-                                 branch_eps=branch_eps, M_blocks=M_blocks,
-                                 hermitian_eps=hermitian_eps, outputs=outputs)
+        return E, (Mxx, Mxy, Myy)
+    E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,
+                               lateral_period, xyrra, eps_pillar,
+                               small_arg_only=eps_small_u)
+    return E, None
 
 
 def _cell_parts(orders, E: C, grating_period, lateral_period,
@@ -637,11 +649,20 @@ def cell_amplitudes_with_eps(orders, E: C, grating_period, lateral_period,
     I = cpx.eye(n2, inner.s11.re.dtype)
     X0 = cpx.solve(I - _left_bmul(A.s12, inner.s21), I)
     c = cpx.promote(c_inc)
+    vec_in = c.ndim == 1
+    if vec_in:
+        # _left_bmul's per-order diag scaling needs a column; a 1-D vector
+        # would broadcast into an (N, N) outer product silently
+        c = c.reshape(-1, 1)
     v = X0 @ _left_bmul(A.s11, c)
     ampf = inner.s11 @ v
+    if vec_in:
+        ampf = ampf.reshape(-1)
     if not want_reflection:
         return ampf, None, Kx, Ky
     ampr = _left_bmul(A.s21, c) + _left_bmul(A.s22, inner.s21 @ v)
+    if vec_in:
+        ampr = ampr.reshape(-1)
     return ampf, ampr, Kx, Ky
 
 
@@ -653,18 +674,10 @@ def cell_amplitudes(orders, xyrra, grating_period, lateral_period,
                     want_reflection: bool = True):
     """:func:`cell_amplitudes_with_eps` with the eps Toeplitz built from the
     ellipse list (the :func:`cell_smatrix` front end)."""
-    if fff:
-        from .fff import fff_eps_blocks
-        E, Mxx, Mxy, Myy = fff_eps_blocks(
-            np.asarray(orders), grating_period, lateral_period, xyrra,
-            eps_pillar, small_arg_only=eps_small_u,
-            hermitian=hermitian_eps)
-        M_blocks = (Mxx, Mxy, Myy)
-    else:
-        E = ellipse_layer_toeplitz(np.asarray(orders), grating_period,
-                                   lateral_period, xyrra, eps_pillar,
-                                   small_arg_only=eps_small_u)
-        M_blocks = None
+    E, M_blocks = build_layer_eps(orders, grating_period, lateral_period,
+                                  xyrra, eps_pillar,
+                                  eps_small_u=eps_small_u, fff=fff,
+                                  hermitian_eps=hermitian_eps)
     return cell_amplitudes_with_eps(
         orders, E, grating_period, lateral_period, cyl_height, eps_glass,
         wavelength, ux, uy, c_inc, n_slabs=n_slabs,

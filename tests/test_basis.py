@@ -116,3 +116,14 @@ def test_order_powers_normal_incidence():
     c = jnp.array([0.0, 1.0 + 0j])
     P = float(basis.order_powers(c, Kx, Ky, Kz, n).sum())
     assert abs(P - 1.0 / n) < 1e-12
+
+
+def test_sp_to_xy_coefficients_normal_incidence_limit():
+    """Exactly-normal incidence must take the ux -> 0+ limit (1, 0, 0, -1)
+    instead of 0/0 NaNs, consistent with incident_sp_amplitudes' normal
+    special case and continuous with nearby directions."""
+    vals = [float(v) for v in basis.sp_to_xy_coefficients(0.0, 0.0)]
+    assert np.isfinite(vals).all()
+    np.testing.assert_allclose(vals, [1.0, 0.0, 0.0, -1.0], atol=1e-12)
+    near = [float(v) for v in basis.sp_to_xy_coefficients(1e-7, 0.0)]
+    np.testing.assert_allclose(near, vals, atol=1e-6)

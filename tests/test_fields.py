@@ -97,3 +97,13 @@ def test_reflected_plus_incident_interference(characterized):
     expected_Ex = (uy ** 2 + Kz ** 2) / Kz * np.exp(
         1j * k0 * (ux * x + uy * y + Kz * z))
     np.testing.assert_allclose(dE[0], expected_Ex, rtol=1e-10)
+
+
+def test_interior_and_wrong_wavelength_are_rejected(characterized):
+    """Points inside the pillar layer and wavelengths absent from the
+    database must raise clearly, not return plausible garbage."""
+    g, data = characterized
+    with pytest.raises(ValueError, match="inside the pillar layer"):
+        fields_from_data(g, data, 0.0, 0.0, 300 * nm)
+    with pytest.raises(AssertionError, match="no entries at wavelength"):
+        fields_from_data(g, data, 0.0, 0.0, 900 * nm, wavelength=600 * nm)

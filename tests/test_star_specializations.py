@@ -263,3 +263,26 @@ def test_relaxed_slab_cap_counts_and_parity():
     fast = ampf(ns, tt)
     conservative = ampf(4 * ns, max(12, tt // 2))
     assert np.abs(fast - conservative).max() < 3e-9
+
+
+def test_cell_amplitudes_accepts_1d_incident_vector():
+    """A 1-D c_inc (the natural 'incident vector' reading of the docstring)
+    must give the same amplitudes as the 1-column matrix form -- the
+    per-order diag scaling used to broadcast it into an outer product
+    silently."""
+    import jax.numpy as jnp
+    from metalens_tpu.solver import orders as ordmod
+
+    orders = ordmod.select_orders(0.48e-6, 0.32e-6, 13)
+    N = orders.shape[0]
+    i0 = ordmod.order_index(orders, 0, 0)
+    xyrra = np.array([[0.05e-6, -0.02e-6, 0.11e-6, 0.09e-6, 0.4]])
+    args = (orders, xyrra, 0.48e-6, 0.32e-6, 0.55e-6, 5.5 + 0.0j,
+            2.1025 + 0.0j, 0.58e-6, 0.31, 0.07)
+    c1 = jnp.zeros(2 * N).at[i0].set(1.0)
+    c2 = c1[:, None]
+    f1, r1, _, _ = rcwa.cell_amplitudes(*args, c1, n_slabs=2, taylor_terms=12)
+    f2, r2, _, _ = rcwa.cell_amplitudes(*args, c2, n_slabs=2, taylor_terms=12)
+    assert f1.shape == (2 * N,) and r1.shape == (2 * N,)
+    assert _maxdiff(f1, cpx.C(f2.re[:, 0], f2.im[:, 0])) == 0.0
+    assert _maxdiff(r1, cpx.C(r2.re[:, 0], r2.im[:, 0])) == 0.0
