@@ -37,8 +37,14 @@ def _native_lib():
     if _lib is not None:
         return _lib
     try:
-        if (not os.path.isfile(_LIB_PATH)
-                or os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)):
+        # rebuild only when the source exists and is newer; a prebuilt .so
+        # shipped without the source stays usable
+        have_src = os.path.isfile(_SRC_PATH)
+        stale = (have_src and os.path.isfile(_LIB_PATH)
+                 and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH))
+        if not os.path.isfile(_LIB_PATH) or stale:
+            if not have_src:
+                raise FileNotFoundError(_SRC_PATH)
             subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o",
                             _LIB_PATH, _SRC_PATH], check=True,
                            capture_output=True)
@@ -62,8 +68,8 @@ def _native_lib():
 
 
 def _xyrra_in_um(xyrra_list):
-    a = np.ascontiguousarray(np.asarray(xyrra_list, dtype=np.float64))
-    out = a.copy()
+    out = np.array(xyrra_list, dtype=np.float64, order="C", copy=True)
+    out = out.reshape(-1, 5) if out.size else out.reshape(0, 5)
     out[:, 0:4] /= um
     return out
 

@@ -17,6 +17,8 @@ API::
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .grating import Grating, GratingCollection
@@ -100,6 +102,11 @@ def save(obj, path):
             _grating_fields(g, f"g{i}_", store)
     else:
         raise TypeError(type(obj))
+    # np.savez appends '.npz' to suffix-less paths; normalize first so the
+    # returned path is always the file actually written (load(save(x, p)))
+    path = os.fspath(path)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez_compressed(path, **store)
     return path
 

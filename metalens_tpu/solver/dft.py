@@ -18,20 +18,27 @@ Conventions match numpy.fft: fft uses e^{-2 pi i jk/N}.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 
 import numpy as np
 import jax.numpy as jnp
+from jax import core as jax_core
 
 from . import cpx
 from .cpx import C
 
 DIRECT_LIMIT = 4096
 
+_DEV_CACHE_MAX = 4
+_DFT_MAT_CACHE: OrderedDict = OrderedDict()
+_TWIDDLE_CACHE: OrderedDict = OrderedDict()
+
 
 @functools.lru_cache(maxsize=64)
 def _dft_factors(n: int):
-    """Factor n into (n1, n2), n1*n2 = n, both <= DIRECT_LIMIT, as balanced
-    as possible.  Returns None if n <= DIRECT_LIMIT (direct matmul)."""
+    """Factor n into (n1, n2), n1*n2 = n, n1 <= sqrt(n), as balanced as
+    possible (n2 may still exceed DIRECT_LIMIT -- the recursion splits it
+    again).  Returns None if n <= DIRECT_LIMIT (direct matmul)."""
     if n <= DIRECT_LIMIT:
         return None
     best = None
@@ -50,9 +57,31 @@ def _dft_matrix_np(n: int):
     return np.cos(ang), np.sin(ang)
 
 
+def _dev_cached(cache: "OrderedDict", key, np_pair, dtype_str: str) -> C:
+    """Device-resident constant with a tiny manual LRU.  Without this every
+    EAGER dft call re-uploads the full n x n cos/sin pair (~66 MB at n=2025
+    f64) host to device -- the dominant cost of the convenience farfield()
+    path over the remote tunnel.  Must NOT be an lru_cache: inside a jit /
+    shard_map trace jnp.asarray returns a Tracer, and caching that poisons
+    every later call (UnexpectedTracerError) -- so tracer results are
+    returned uncached (under jit the matrix is a trace-time constant
+    anyway).  Size stays tiny: one n=4096 f64 entry is ~268 MB of HBM; a
+    farfield call touches two sizes."""
+    hit = cache.get((key, dtype_str))
+    if hit is not None:
+        cache.move_to_end((key, dtype_str))
+        return hit
+    out = C(jnp.asarray(np_pair[0], dtype_str), jnp.asarray(np_pair[1], dtype_str))
+    if not isinstance(out.re, jax_core.Tracer):
+        cache[(key, dtype_str)] = out
+        while len(cache) > _DEV_CACHE_MAX:
+            cache.popitem(last=False)
+    return out
+
+
 def _dft_mat(n: int, rdtype) -> C:
-    cr, ci = _dft_matrix_np(n)
-    return C(jnp.asarray(cr, rdtype), jnp.asarray(ci, rdtype))
+    return _dev_cached(_DFT_MAT_CACHE, n, _dft_matrix_np(n),
+                       np.dtype(rdtype).name)
 
 
 @functools.lru_cache(maxsize=64)
@@ -61,6 +90,11 @@ def _twiddle_np(n1: int, n2: int):
     k2 = np.arange(n2)
     ang = -2.0 * np.pi / (n1 * n2) * np.outer(j1, k2)
     return np.cos(ang), np.sin(ang)
+
+
+def _twiddle_dev(n1: int, n2: int, dtype_str: str) -> C:
+    return _dev_cached(_TWIDDLE_CACHE, (n1, n2), _twiddle_np(n1, n2),
+                       dtype_str)
 
 
 def dft_axis0(x: C) -> C:
@@ -77,8 +111,7 @@ def dft_axis0(x: C) -> C:
     # DFT over j1 (axis 0, length n1)
     y = dft_axis0(y.reshape((n1, -1))).reshape((n1, n2) + rest)
     # twiddle e^{-2pi i k1 j2 / n}; (k1, j2) axes are (0, 1)
-    tw_r, tw_i = _twiddle_np(n1, n2)
-    tw = C(jnp.asarray(tw_r, rdtype), jnp.asarray(tw_i, rdtype))
+    tw = _twiddle_dev(n1, n2, np.dtype(rdtype).name)
     extra = (1,) * len(rest)
     y = y * tw.reshape((n1, n2) + extra)
     # DFT over j2 (axis 1, length n2): move to front

@@ -167,3 +167,18 @@ def test_gds_rejects_bad_args_before_native_dispatch(tmp_path):
             with pytest.raises(ValueError):
                 make_gds(xyrra, str(tmp_path / "bad.gds"),
                          use_native=use_native, **kw)
+
+
+def test_export_accepts_empty_and_1d_inputs(tmp_path):
+    """An empty layout writes a valid (pillar-free) file; a bare
+    [x,y,rx,ry,a] row is treated as one pillar (both used to IndexError)."""
+    from metalens_tpu.export import make_dxf, make_svg, make_gds
+    for maker, name in ((make_dxf, "e.dxf"), (make_svg, "e.svg"),
+                        (make_gds, "e.gds")):
+        p = str(tmp_path / name)
+        maker([], p)
+        assert os.path.getsize(p) > 0
+    one = [0.1e-6, -0.2e-6, 0.05e-6, 0.04e-6, 0.3]
+    p2 = str(tmp_path / "one.dxf")
+    make_dxf(one, p2)
+    assert os.path.getsize(p2) > 0

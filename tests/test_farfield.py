@@ -215,3 +215,33 @@ def test_dft_four_step_recursion(monkeypatch):
         np.testing.assert_allclose(got, np.fft.fft(x, axis=0), rtol=1e-9,
                                    atol=1e-9)
     dft._dft_factors.cache_clear()
+
+def test_dft_device_cache_not_poisoned_by_tracing(monkeypatch):
+    """Calling dft inside a jit trace must not cache tracers: the device
+    constant cache is shared with eager calls, and a cached tracer leaks
+    as UnexpectedTracerError in every later eager/jit call (this bit the
+    sharded farfield + viz tests when run after test_parallel)."""
+    import jax
+    from metalens_tpu.solver import cpx, dft
+    monkeypatch.setattr(dft, "DIRECT_LIMIT", 16)
+    dft._dft_factors.cache_clear()
+    dft._DFT_MAT_CACHE.clear()
+    dft._TWIDDLE_CACHE.clear()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(60, 3)) + 1j * rng.normal(size=(60, 3))
+
+    # populate the caches from INSIDE a trace first
+    def f(xc):
+        return dft.dft_axis0(xc)
+    _ = cpx.to_np(jax.jit(f)(cpx.from_np(x)))
+    for cache in (dft._DFT_MAT_CACHE, dft._TWIDDLE_CACHE):
+        for v in cache.values():
+            assert not isinstance(v.re, jax.core.Tracer)
+
+    # eager call afterwards must still work and agree with numpy
+    got = cpx.to_np(dft.dft_axis0(cpx.from_np(x)))
+    np.testing.assert_allclose(got, np.fft.fft(x, axis=0), rtol=1e-9,
+                               atol=1e-9)
+    dft._dft_factors.cache_clear()
+    dft._DFT_MAT_CACHE.clear()
+    dft._TWIDDLE_CACHE.clear()

@@ -54,3 +54,19 @@ def test_hexgridset_roundtrip(tmp_path):
     np.testing.assert_allclose(h2.x_amp_list, hgs.x_amp_list)
     assert h2.grating_list[0].data == hgs.grating_list[0].data
     assert h2.sep == hgs.sep
+
+
+def test_save_returns_real_filename_without_suffix(tmp_path):
+    """np.savez appends '.npz'; save() must return the path actually
+    written so load(save(obj, p)) always works."""
+    import numpy as np
+    from metalens_tpu import Grating
+    from metalens_tpu.serialization import save, load
+    from metalens_tpu.units import nm
+    g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                grating_period=1200 * nm,
+                xyrra_list_in_nm_deg=np.array([[0., 0., 120., 90., 0.]]))
+    p = save(g, str(tmp_path / "noext"))
+    assert p.endswith(".npz")
+    g2 = load(p)
+    np.testing.assert_allclose(g2.xyrra_list, g.xyrra_list)
