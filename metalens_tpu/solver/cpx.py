@@ -32,6 +32,14 @@ class C(NamedTuple):
     re: jnp.ndarray
     im: jnp.ndarray
 
+    # Refuse numpy ufunc dispatch: without this, a numpy array/scalar on
+    # the LEFT of an operator treats the NamedTuple as a (2, ...) sequence
+    # and silently returns a stacked ndarray with the real operand applied
+    # to BOTH re and im (verified: np.array([10.]) + C(re, im) added 10 to
+    # the imaginary part).  None makes numpy return NotImplemented so
+    # Python falls back to the correct reflected C methods.
+    __array_ufunc__ = None
+
     # ----- shape/indexing -----
     @property
     def shape(self):
@@ -43,7 +51,11 @@ class C(NamedTuple):
 
     @property
     def T(self):
-        return C(self.re.T, self.im.T)
+        """Matrix transpose: swaps the last two axes (leading batch axes
+        untouched; same as a full transpose for 2-D, no-op for <2-D)."""
+        if self.ndim < 2:
+            return self
+        return C(jnp.swapaxes(self.re, -1, -2), jnp.swapaxes(self.im, -1, -2))
 
     def __getitem__(self, idx):
         return C(self.re[idx], self.im[idx])
@@ -84,8 +96,8 @@ class C(NamedTuple):
         if isinstance(other, complex):
             return C(self.re * other.real - self.im * other.imag,
                      self.re * other.imag + self.im * other.real)
-        assert not np.iscomplexobj(other), \
-            "wrap complex arrays with cpx.promote/from_np first"
+        if np.iscomplexobj(other):
+            return self * promote(other)
         return C(self.re * other, self.im * other)   # real scalar/array
 
     __rmul__ = __mul__
@@ -97,6 +109,8 @@ class C(NamedTuple):
                      (self.im * other.re - self.re * other.im) / d)
         if isinstance(other, complex):
             return self * (1.0 / other)
+        if np.iscomplexobj(other):
+            return self / promote(other)
         return C(self.re / other, self.im / other)
 
     def __rtruediv__(self, other):
@@ -299,6 +313,11 @@ def inv_blockrec(A: C, base: int = 64) -> C:
     on ops that are far from the bottleneck and restores the normal f32
     error envelope.
     """
+    if A.ndim != 2:
+        raise ValueError(
+            f"inv_blockrec expects a 2-D matrix, got shape {A.shape}; "
+            "use jax.vmap for batches (the Pallas TPU path accepts a "
+            "leading batch axis, this XLA fallback does not)")
     n = A.shape[0]
     if n <= base:
         return solve_schur(A, eye(n, A.re.dtype))
@@ -317,8 +336,10 @@ def inv_blockrec(A: C, base: int = 64) -> C:
 
 
 def adjoint(A: C) -> C:
-    """Conjugate transpose."""
-    return C(A.re.T, -A.im.T)
+    """Conjugate transpose of the last two axes (batch axes untouched;
+    plain .T on a (B, n, n) stack would transpose the batch axis into the
+    matrix and, when B == n, produce silently wrong values downstream)."""
+    return C(jnp.swapaxes(A.re, -1, -2), -jnp.swapaxes(A.im, -1, -2))
 
 
 def inv_blockrec_hermitian(A: C, base: int = 64) -> C:
@@ -414,11 +435,12 @@ def qr_solve(A: C, B: C) -> C:
     """Solve A X = B for general complex A via QR on the real embedding
     (kept as an alternative to :func:`solve` for conditioning studies)."""
     n = A.re.shape[0]
-    M = _embed(A)
-    rhs = jnp.concatenate([B.re, B.im], axis=0)
-    Q, R = jnp.linalg.qr(M)
-    sol = jax.lax.linalg.triangular_solve(R, Q.T @ rhs, left_side=True,
-                                          lower=False)
+    with jax.default_matmul_precision(SOLVE_PRECISION):
+        M = _embed(A)
+        rhs = jnp.concatenate([B.re, B.im], axis=0)
+        Q, R = jnp.linalg.qr(M)
+        sol = jax.lax.linalg.triangular_solve(R, Q.T @ rhs, left_side=True,
+                                              lower=False)
     return C(sol[:n], sol[n:])
 
 

@@ -179,11 +179,15 @@ _MAX_GROUP = 16
 
 
 def _pick_group(P: int, B: int, override=None) -> int:
+    """Interleave group for a batch of B matrices.  Divisibility is NOT
+    required: the vmap rule identity-pads the batch up to a multiple of
+    the returned group (inverse of I is I; the pad is sliced off), so an
+    odd production batch -- e.g. a 25- or 75-direction characterize sweep
+    -- keeps the full group instead of silently falling to the ~2-4x
+    slower G=1 kernel.  The group is only capped at the next power of two
+    >= B so a tiny batch doesn't pad beyond itself."""
     if override:
-        g = override
-        while g > 1 and B % g:
-            g //= 2
-        return g
+        return max(1, override)
     # area scaling with a floor at the P=128 value: the compiler-reported
     # scoped allocation is 17.42MB for G=16 at P=112 and 17.5MB at P=128
     # (both ~1.09MB/matrix) -- below P~128 the live set bottoms out at the
@@ -193,7 +197,7 @@ def _pick_group(P: int, B: int, override=None) -> int:
     live = _LIVE_MB_P128 * max((P / 128.0) ** 2, 1.0)
     g = 1
     while (g < _MAX_GROUP and 2 * g * live <= _VMEM_BUDGET_MB
-           and B % (2 * g) == 0):
+           and g < B):
         g *= 2
     return g
 
@@ -245,7 +249,19 @@ def _inv_core(P: int, interpret: bool, gj_base: int, prec, group=None):
         ai = ai if in_batched[1] else jnp.broadcast_to(ai[None],
                                                        (axis_size, P, P))
         G = _pick_group(P, axis_size, group)
+        pad = (-axis_size) % G
+        if pad:
+            # identity-pad to a multiple of the group: same proven (P, G)
+            # kernel, just more grid work -- still far cheaper than the
+            # G=1 latency floor the old divisibility rule fell to
+            ar = jnp.concatenate(
+                [ar, jnp.broadcast_to(jnp.eye(P, dtype=ar.dtype),
+                                      (pad, P, P))], axis=0)
+            ai = jnp.concatenate(
+                [ai, jnp.zeros((pad, P, P), ai.dtype)], axis=0)
         wr, wi = _build_call(P, interpret, G, gj_base, prec)(ar, ai)
+        if pad:
+            wr, wi = wr[:axis_size], wi[:axis_size]
         return (wr, wi), (True, True)
 
     return core
@@ -294,6 +310,10 @@ def inv_pallas(A: C, interpret: bool = False) -> C:
     56)."""
     n = A.shape[-1]
     P = pad_size(n)
+    if P is None:
+        raise ValueError(
+            f"inv_pallas supports n <= 256, got n = {n}; use "
+            "cpx.solve_matmul / solve_embed for larger matrices")
     batched = A.ndim == 3
     ar = A.re if batched else A.re[None]
     ai = A.im if batched else A.im[None]
@@ -321,7 +341,7 @@ def _inv_fwd(A, interpret):
 
 def _inv_bwd(interpret, W, Wbar):
     # holomorphic inverse: Abar = -W^H Wbar W^H (JAX complex convention)
-    Wh = C(jnp.swapaxes(W.re, -1, -2), -jnp.swapaxes(W.im, -1, -2))
+    Wh = cpx.adjoint(W)
     G = cpx.promote(Wbar) if not isinstance(Wbar, C) else Wbar
     with jax.default_matmul_precision(cpx.SOLVE_PRECISION):
         Abar = -(Wh @ (G @ Wh))

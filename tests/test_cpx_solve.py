@@ -135,3 +135,49 @@ def test_every_hot_path_solve_is_inside_the_schur_contract(
         # the structural property the lossy EPS_REF basis buys us
         condR = np.linalg.cond(np.asarray(A.re))
         assert condR < 1e8, f"Re(A) conditioning broke the Schur contract: {condR:.2e}"
+
+
+def test_numpy_left_operand_and_complex_arrays():
+    """numpy on the LEFT of an operator must defer to C's reflected ops
+    (__array_ufunc__ = None); complex numpy operands promote instead of
+    silently corrupting the real branch."""
+    rng = np.random.default_rng(7)
+    z = rng.normal(size=4) + 1j * rng.normal(size=4)
+    c = cpx.from_np(z)
+    w = rng.normal(size=4) + 1j * rng.normal(size=4)
+
+    got = np.array([10.0, 20.0, 30.0, 40.0]) + c
+    assert isinstance(got, cpx.C)
+    np.testing.assert_allclose(cpx.to_np(got),
+                               np.array([10., 20., 30., 40.]) + z, rtol=1e-6)
+    got = np.float64(2.0) * c
+    assert isinstance(got, cpx.C)
+    np.testing.assert_allclose(cpx.to_np(got), 2.0 * z, rtol=1e-6)
+    # complex numpy arrays promote through * and /
+    np.testing.assert_allclose(cpx.to_np(c * w), z * w, rtol=1e-6)
+    np.testing.assert_allclose(cpx.to_np(c / w), z / w, rtol=1e-6)
+    np.testing.assert_allclose(cpx.to_np(c * np.complex128(1 + 2j)),
+                               z * (1 + 2j), rtol=1e-6)
+
+
+def test_adjoint_and_T_are_batch_safe():
+    """adjoint/.T must swap only the matrix axes: with batch == n, plain
+    .T produced valid shapes but silently wrong values."""
+    rng = np.random.default_rng(8)
+    B = n = 3
+    z = rng.normal(size=(B, n, n)) + 1j * rng.normal(size=(B, n, n))
+    c = cpx.from_np(z)
+    np.testing.assert_allclose(cpx.to_np(cpx.adjoint(c)),
+                               np.conj(np.swapaxes(z, -1, -2)), rtol=1e-12)
+    np.testing.assert_allclose(cpx.to_np(c.T),
+                               np.swapaxes(z, -1, -2), rtol=1e-12)
+    v = cpx.from_np(z[0, 0])
+    np.testing.assert_allclose(cpx.to_np(v.T), z[0, 0], rtol=1e-12)
+
+
+def test_inv_blockrec_rejects_batched():
+    rng = np.random.default_rng(9)
+    z = np.eye(8) + 0.1 * (rng.normal(size=(4, 8, 8))
+                           + 1j * rng.normal(size=(4, 8, 8)))
+    with pytest.raises(ValueError, match="2-D"):
+        cpx.inv_blockrec(cpx.from_np(z))

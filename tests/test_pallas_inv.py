@@ -95,3 +95,33 @@ def test_custom_vjp_matches_blockrec_grad():
     g_br = jax.grad(loss_br)(A)
     scale = np.abs(cpx.to_np(g_br)).max()
     assert np.abs(cpx.to_np(g_pl) - cpx.to_np(g_br)).max() / scale < 1e-4
+
+
+def test_vmap_odd_batch_identity_pad():
+    """A vmap batch NOT divisible by the interleave group (e.g. a 25- or
+    75-direction characterize sweep) must still route through the grouped
+    kernel: the rule identity-pads up to a group multiple and slices the
+    pad off.  Pinned in interpret mode against the direct inverse."""
+    from metalens_tpu.solver import pallas_inv
+    rng = np.random.default_rng(2)
+    for B in (3, 25):
+        A_np = _rand_wellcond(rng, 40, B)
+        Ac = cpx.from_np(A_np)
+        W = jax.vmap(lambda a: inv_pallas(a, True))(Ac)
+        Wn = cpx.to_np(W)
+        assert Wn.shape == (B, 40, 40)
+        for b in range(B):
+            assert np.abs(Wn[b] @ A_np[b] - np.eye(40)).max() < 5e-5
+    # the picker no longer demands divisibility and caps at ~2x the batch
+    assert pallas_inv._pick_group(112, 25) == 8
+    assert pallas_inv._pick_group(112, 3) == 4
+    assert pallas_inv._pick_group(112, 1) == 1
+    assert pallas_inv._pick_group(224, 25) == 4
+    assert pallas_inv._pick_group(256, 25) == 2
+
+
+def test_out_of_range_n_raises():
+    rng = np.random.default_rng(3)
+    A_np = _rand_wellcond(rng, 300)
+    with pytest.raises(ValueError, match="256"):
+        inv_pallas(cpx.from_np(A_np), True)
