@@ -12,9 +12,13 @@ This script measures the warm whole-sweep wall clock either way:
 Run each arm in its own process (the engine caches compiled programs).
 """
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
