@@ -396,9 +396,43 @@ def q2_upper_bound(orders, grating_period, lateral_period, wavelength,
     return kmax2 + eps_max
 
 
+# Per-slab t*q caps for slab_schedule(target=None), by working precision.
+#
+# The mechanism limiting slab thickness in f32 is REPRESENTATION HEADROOM,
+# not series convergence: the thin-slab transfer matrix carries entries of
+# magnitude ~e^{t*q} (cosh growth of evanescent modes) that the S-matrix
+# conversion cancels back to O(1), so the recoverable accuracy is
+# ~eps_dtype * e^{t*q}.  Measured on the bench cell (round 4, true f32
+# with x64 OFF, 1-vs-16-slab self-consistency, error on PROPAGATING
+# transmitted orders):
+#     t*q    8      10      11      12      13      14      16.2
+#     err  7e-6   2.4e-5  4.8e-5  1.7e-4  3.4e-3  1.3e-2  1.6e-2
+# The floor from the rest of the f32 pipeline is ~1.5e-4, so cap 11 keeps
+# the slab stage below it with ~2x margin.  The round-3 cap of 16.5 shipped
+# a ~1.4e-2 f32 amplitude error at the numG=50 production schedule -- its
+# "f32 error UNCHANGED up to t*q 21" probe ran under jax_enable_x64, which
+# promotes enough intermediates to mask the cancellation (same trap as the
+# on-chip t*q~21 cliff recorded in CLAUDE.md).  f64 keeps 16.5: measured
+# floor 3e-10 at t*q 16.2, cliff at ~32 (5e-4) / ~42 (diverges).
+SLAB_CAP_F64 = 16.5
+SLAB_CAP_F32 = 11.0
+
+
+def slab_cap(dtype=None) -> float:
+    """Active per-slab t*q cap.  With ``dtype=None`` the working precision
+    is inferred from ``jax_enable_x64`` -- the same rule the engine uses to
+    pick its real dtype (engine._default_rdtype)."""
+    if dtype is None:
+        import jax
+        wide = bool(jax.config.jax_enable_x64)
+    else:
+        wide = np.dtype(dtype).itemsize >= 8
+    return SLAB_CAP_F64 if wide else SLAB_CAP_F32
+
+
 def slab_schedule(k0h_max: float, orders, grating_period, lateral_period,
                   wavelength, eps_max: float, u_max: float = 1.0,
-                  target: float = 16.5, safety: float = 1.05):
+                  target: float | None = None, safety: float = 1.05):
     """(n_slabs, taylor_terms) pairing for the doubling assembly, sized from
     a tight spectral bound.
 
@@ -411,13 +445,14 @@ def slab_schedule(k0h_max: float, orders, grating_period, lateral_period,
     ``target`` caps the per-slab t*q; the series length is then sized from
     the ACTUAL per-slab norm, not the cap.  The doubling solves -- not the
     series matmuls -- dominate per-solve cost, so thicker slabs win as long
-    as accuracy holds.  Cap 16.5 drops one star doubling at both the
-    numG=50 (4->2 slabs) and numG=100 (8->4) production configs vs the
-    round-2 cap of 9, with MEASURED accuracy cost of zero at f32 (2.0e-6
-    amplitude error either way -- large-||Y|| modes are evanescent, so
-    their series is cosh-like with all-positive terms and no cancellation)
-    and <=3e-10 at f64 (bench cell, t*q = 16.2; 9.5e-14 at t*q = 10.5;
-    the cliff is far out: t*q = 32 measures 5e-4, t*q = 42 diverges)."""
+    as accuracy holds -- and "holds" is PRECISION-DEPENDENT: see
+    :data:`SLAB_CAP_F32` / :data:`SLAB_CAP_F64` and :func:`slab_cap` for
+    the measured table.  ``target=None`` (the default) resolves via
+    :func:`slab_cap`; bench.py's on-chip accuracy guard probes the active
+    cap value every run, so a future cap change that lands past the chip
+    cliff fails the benchmark instead of silently corrupting results."""
+    if target is None:
+        target = slab_cap()
     orders = np.asarray(orders)
     kx = orders[:, 0] * wavelength / grating_period
     ky = orders[:, 1] * wavelength / lateral_period

@@ -223,11 +223,12 @@ def test_cell_amplitudes_matches_smatrix_route():
 
 
 def test_relaxed_slab_cap_counts_and_parity():
-    """The round-3 per-slab cap (16.5) must halve the doubling count at
-    both production bench configs vs the round-2 cap of 9, and the f64
-    amplitudes must match a conservative (4x slabs) schedule to the
-    measured doubling-cancellation floor (~3e-10 at t*q=16.2; see the
-    slab_schedule docstring for the full A/B)."""
+    """The f64 per-slab cap (16.5; this suite runs x64 so the default
+    resolves to it -- see test_slab_cap_is_dtype_aware for the f32 cap)
+    must halve the doubling count at both production bench configs vs the
+    round-2 cap of 9, and the f64 amplitudes must match a conservative
+    (4x slabs) schedule to the measured doubling-cancellation floor
+    (~3e-10 at t*q=16.2; see the slab-cap comment block in rcwa.py)."""
     import jax.numpy as jnp
     from metalens_tpu.solver import orders as ordmod
     from metalens_tpu.units import nm
@@ -263,6 +264,38 @@ def test_relaxed_slab_cap_counts_and_parity():
     fast = ampf(ns, tt)
     conservative = ampf(4 * ns, max(12, tt // 2))
     assert np.abs(fast - conservative).max() < 3e-9
+
+
+def test_slab_cap_is_dtype_aware():
+    """Round 4: the per-slab t*q cap is PRECISION-DEPENDENT.  True f32
+    (x64 off -- the chip) has ~eps*e^{t*q} representation headroom in the
+    thin-slab transfer entries: measured on the bench cell, the error on
+    propagating orders ramps 4.8e-5 -> 1.7e-4 -> 3.4e-3 -> 1.6e-2 at
+    t*q = 11 / 12 / 13 / 16.2 over a ~1.5e-4 pipeline floor.  The round-3
+    cap of 16.5 therefore shipped ~1.4e-2 f32 amplitude error at the
+    numG=50 production schedule (its 'unchanged up to 21' probe ran under
+    x64, which masks the cancellation).  Caps: f32 11.0, f64 16.5."""
+    from metalens_tpu.solver import orders as ordmod
+    from metalens_tpu.units import nm
+
+    assert rcwa.slab_cap(np.float32) == rcwa.SLAB_CAP_F32 == 11.0
+    assert rcwa.slab_cap(np.float64) == rcwa.SLAB_CAP_F64 == 16.5
+    # the suite runs with x64 on -> ambient default resolves to the f64 cap
+    assert rcwa.slab_cap() == rcwa.SLAB_CAP_F64
+
+    LX, LY, LAM, H = 1200 * nm, 320 * nm, 580 * nm, 550 * nm
+    NT = 2.372
+    k0h = 2 * math.pi * H / LAM
+    for numG, want_f32, want_f64 in ((50, 4, 2), (100, 4, 4)):
+        orders = ordmod.select_orders(LX, LY, numG)
+        ns32, _ = rcwa.slab_schedule(k0h, orders, LX, LY, LAM, NT ** 2,
+                                     target=rcwa.slab_cap(np.float32))
+        ns64, _ = rcwa.slab_schedule(k0h, orders, LX, LY, LAM, NT ** 2,
+                                     target=rcwa.slab_cap(np.float64))
+        assert (ns32, ns64) == (want_f32, want_f64), (numG, ns32, ns64)
+        # default-target call sees the ambient (x64) precision
+        ns_amb, _ = rcwa.slab_schedule(k0h, orders, LX, LY, LAM, NT ** 2)
+        assert ns_amb == ns64
 
 
 def test_cell_amplitudes_accepts_1d_incident_vector():
