@@ -82,13 +82,21 @@ def _ledger_update(stage, entry):
 
 
 def _hbm_stats():
+    """Device memory stats -- or an explicit 'unavailable' marker: the axon
+    backend returns no memory_stats(), and a field that silently reads 0
+    is worse than none (round-3 verdict).  The ceiling is established by
+    arithmetic + an on-chip edge push instead: benchmarks/hbm_ceiling.py."""
     import jax
     try:
         st = jax.local_devices()[0].memory_stats() or {}
-        return {"hbm_peak_bytes": int(st.get("peak_bytes_in_use", 0)),
-                "hbm_limit_bytes": int(st.get("bytes_limit", 0))}
     except Exception:
-        return {}
+        st = {}
+    peak = int(st.get("peak_bytes_in_use", 0))
+    if peak:
+        return {"hbm_peak_bytes": peak,
+                "hbm_limit_bytes": int(st.get("bytes_limit", 0))}
+    return {"hbm_stats": "unavailable (backend reports no memory_stats; "
+                         "see benchmarks/hbm_ceiling.py)"}
 
 
 def _rgb_terms():

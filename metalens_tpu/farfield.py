@@ -138,6 +138,75 @@ def farfield(Ex, Ey, Hx, Hy, xp_list, yp_list, wavelength, n_glass):
                                    xp_list, yp_list, wavelength, n_glass)
 
 
+def _to_host_complex(f):
+    if isinstance(f, C):
+        return cpx.to_np(f)
+    return np.asarray(f)
+
+
+def farfield_big(Ex, Ey, Hx, Hy, xp_list, yp_list, wavelength, n_glass,
+                 pts_at_a_time=1e7, progress=False):
+    """Slab-chunked :func:`farfield` for apertures past the single-chip HBM
+    ceiling (``benchmarks/hbm_ceiling.py``), and for RAM-bound CPU parity
+    runs -- the counterpart of the reference's uy-slab chunked transform
+    (reference ``nearfield_farfield.py:45-66``, 1e7 points per slab).
+
+    The four aperture fields and their spectra live in HOST RAM; the device
+    only ever holds one (slab x n) block plus the four-step DFT factor
+    matrices.  The separable 2-D DFT runs as an axis-1 pass over row slabs
+    then an axis-0 pass over column slabs, and the angular transform runs
+    over row slabs.  Results are identical to :func:`farfield` (pinned by
+    tests/test_farfield.py::test_farfield_big_matches_unchunked); ``P``
+    comes back as a host numpy array."""
+    xp_list = np.asarray(xp_list)
+    yp_list = np.asarray(yp_list)
+    num_x, num_y = len(xp_list), len(yp_list)
+    dxp = xp_list[1] - xp_list[0]
+    dyp = yp_list[1] - yp_list[0]
+    _check_grids(xp_list, yp_list, wavelength)
+    rows = max(1, int(pts_at_a_time // num_y))
+    cols = max(1, int(pts_at_a_time // num_x))
+
+    spectra = []
+    for name, f in (("Ex", Ex), ("Ey", Ey), ("Hx", Hx), ("Hy", Hy)):
+        f = np.fft.fftshift(_to_host_complex(f))
+        assert f.shape == (num_x, num_y)
+        G = np.empty_like(f)
+        for s in range(0, num_x, rows):          # axis-1 DFT, row slabs
+            e = min(s + rows, num_x)
+            blk = dft.dft_axis0(cpx.from_np(f[s:e].T))
+            G[s:e] = cpx.to_np(blk).T
+            if progress:
+                print(f"farfield_big: {name} axis-1 rows {s}..{e}",
+                      flush=True)
+        for s in range(0, num_y, cols):          # axis-0 DFT, column slabs
+            e = min(s + cols, num_y)
+            G[:, s:e] = cpx.to_np(dft.dft_axis0(cpx.from_np(G[:, s:e])))
+            if progress:
+                print(f"farfield_big: {name} axis-0 cols {s}..{e}",
+                      flush=True)
+        spectra.append(G)
+
+    ux_list, uy_list = _u_lists(num_x, num_y, dxp, dyp, wavelength, n_glass)
+    uy_dev = jnp.asarray(uy_list)
+    P = np.empty((num_x, num_y), dtype=spectra[0].real.dtype)
+    for s in range(0, num_x, rows):              # angular map, row slabs
+        e = min(s + rows, num_x)
+        blk = _angular_power(*(cpx.promote(g[s:e]) for g in spectra),
+                             jnp.asarray(ux_list[s:e]), uy_dev, dxp, dyp,
+                             wavelength, n_glass)
+        P[s:e] = np.asarray(blk)
+
+    P = np.fft.fftshift(P)                       # == the roll in
+    ux_list = np.fft.fftshift(ux_list)           # farfield_from_nearfield
+    uy_list = np.fft.fftshift(uy_list)
+    dux = ux_list[1] - ux_list[0]
+    duy = uy_list[1] - uy_list[0]
+    ux, uy = np.meshgrid(ux_list, uy_list, indexing="ij", sparse=True)
+    total_P = float(np.where(np.isfinite(P), P, 0.0).sum() * dux * duy)
+    return P, total_P, ux, uy, dux, duy
+
+
 def focal_metrics(P, ux, uy, dux, duy, total_P, power_through_lens,
                   spot_radius_u=None):
     """Focusing diagnostics: peak direction, encircled power within

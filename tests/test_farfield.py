@@ -61,6 +61,46 @@ def test_tilted_plane_wave_peaks_at_its_direction():
     assert abs(total_P / power_in - 1.0) < 2e-2
 
 
+def test_farfield_big_matches_unchunked():
+    """The host-RAM slab-chunked transform (farfield_big) must reproduce
+    the one-shot device path bit-for-bit up to accumulation order: same P
+    grid, same total, on a NON-SQUARE aperture (catches axis swaps) with
+    awkward slab sizes (forces partial chunks on both axes)."""
+    from metalens_tpu.farfield import farfield_big
+
+    rng = np.random.default_rng(3)
+    num_x, num_y, spacing = 48, 36, LAM / 2.2
+    xs = (np.arange(num_x) - num_x / 2) * spacing
+    ys = (np.arange(num_y) - num_y / 2) * spacing
+    X, Y = np.meshgrid(xs, ys, indexing="ij")
+    kg = 2 * np.pi * NG / LAM
+    # structured + noisy fields: tilted carrier, radial defocus, speckle
+    phase = np.exp(1j * kg * (0.25 * X + 0.1 * Y
+                              - 0.002 * (X ** 2 + Y ** 2) / spacing))
+    def fld():
+        return phase * (1 + 0.1 * (rng.standard_normal((num_x, num_y))
+                                   + 1j * rng.standard_normal((num_x,
+                                                               num_y))))
+    Ex, Ey = fld(), 0.3 * fld()
+    Hy, Hx = NG / nu.Z0 * fld(), -0.2 * NG / nu.Z0 * fld()
+
+    P0, tot0, ux0, uy0, dux0, duy0 = farfield(Ex, Ey, Hx, Hy, xs, ys,
+                                              LAM, NG)
+    # 500 points/slab -> ~11 partial row slabs and 4 column slabs
+    P1, tot1, ux1, uy1, dux1, duy1 = farfield_big(Ex, Ey, Hx, Hy, xs, ys,
+                                                  LAM, NG,
+                                                  pts_at_a_time=500)
+    assert np.allclose(np.asarray(ux1), np.asarray(ux0))
+    assert np.allclose(np.asarray(uy1), np.asarray(uy0))
+    assert (dux1, duy1) == (dux0, duy0)
+    P0n = np.asarray(P0)
+    both = np.isfinite(P0n) & np.isfinite(P1)
+    assert (np.isfinite(P0n) == np.isfinite(P1)).all()
+    scale = np.abs(P0n[both]).max()
+    assert np.abs(P1[both] - P0n[both]).max() < 1e-10 * scale
+    assert abs(tot1 - tot0) < 1e-10 * abs(tot0)
+
+
 def test_focused_phase_profile_spot():
     """A converging spherical phase across the aperture concentrates power
     into the angular cone of its NA."""
