@@ -119,65 +119,55 @@ def make_center_xyrra_list(hgs, lens_center_summary):
 
 def design_periphery(collections, source_distance, radius,
                      wavelength=WAVELENGTH):
-    """Ring layout of the lens periphery (reference
-    ``design_collimator.py:148-228``).
+    """Ring layout of the lens periphery, as one vectorized pass: the
+    Fresnel-zone boundaries are the 2*pi wraps of the target phase, every
+    ring is the annulus between consecutive wraps, and each ring binds to
+    the collection whose angle bracket contains its center.  (Same output
+    contract as reference ``design_collimator.py:148-228``, which walks the
+    zeros one ring at a time; the stitcher consumes these exact keys.)
 
     ``collections`` is [[(phi_start, phi_end), grating_collection], ...]
-    with contiguous angle brackets.  Rings live between consecutive
-    phase zeros; each ring uses the collection whose bracket contains
-    atan(r_center / d)."""
+    with contiguous angle brackets."""
+    assert len(collections) > 0
     for i in range(len(collections) - 1):
         assert collections[i][0][1] == collections[i + 1][0][0]
     assert all(x[0][0] < x[0][1] for x in collections)
-    assert len(collections) > 0
+    for _, gc in collections:
+        assert isinstance(gc, grating_mod.GratingCollection)
 
-    def num_around_circle(gc):
-        # 2*pi*d / (lateral_period/tan(angle)) == 2*pi*x/lateral_period(x)
-        return int(round(2 * pi * source_distance / gc.lateral_period))
-
-    r_center_list = []
-    grating_period_list = []
-    gratingcollection_index_here_list = []
-    num_around_circle_list = []
-    collection_index = 0
-    angle_for_switch = collections[0][0][0]
-    phase_zeros = [x for x in target_phase_zeros(radius + 2 * um,
-                                                 source_distance, wavelength)
-                   if x > source_distance * math.tan(angle_for_switch)]
-    if len(phase_zeros) <= 1:
+    # zone boundaries from the innermost bracket edge out past the rim
+    # (the outermost ring is the first whose outer edge clears `radius`)
+    zeros = np.asarray(target_phase_zeros(radius + 2 * um, source_distance,
+                                          wavelength))
+    zeros = zeros[zeros > source_distance * math.tan(collections[0][0][0])]
+    if zeros.size <= 1:
         raise ValueError("Periphery is too small for even one ring")
-    phase_zero_index = 0
+    inner, outer = zeros[:-1], zeros[1:]
+    keep = 1 + int(np.argmax(outer > radius))   # target_phase_zeros always
+    inner, outer = inner[:keep], outer[:keep]   # emits a zero past radius
+    r_center = (inner + outer) / 2
 
-    while True:
-        r_outer = phase_zeros[phase_zero_index + 1]
-        r_inner = phase_zeros[phase_zero_index]
-        r_center = (r_outer + r_inner) / 2
-        angle_in_air = math.atan(r_center / source_distance)
-        if collections[collection_index][0][1] < angle_in_air:
-            collection_index += 1
-            if collection_index >= len(collections):
-                raise ValueError("radius is too big for provided collections")
-            continue
-        collection = collections[collection_index][1]
-        assert isinstance(collection, grating_mod.GratingCollection)
-        num_around_circle_list.append(num_around_circle(collection))
-        r_center_list.append(r_center)
-        grating_period_list.append(r_outer - r_inner)
-        gratingcollection_index_here_list.append(collection_index)
-        if r_outer > radius:
-            break
-        phase_zero_index += 1
+    # ring -> collection: first bracket whose high edge reaches the ring
+    # center's incidence angle (brackets are contiguous and sorted)
+    bracket_hi = np.array([hi for (_, hi), _ in collections])
+    which = np.searchsorted(bracket_hi, np.arctan2(r_center,
+                                                   source_distance))
+    if which.size and which[-1] >= len(collections):
+        raise ValueError("radius is too big for provided collections")
 
-    r_center_list = np.array(r_center_list)
-    grating_period_list = np.array(grating_period_list)
+    # copies around the circle: 2*pi*d / (lateral_period/tan(angle)) =
+    # 2*pi*x / lateral_period(x), constant per collection by the round-lens
+    # invariant
+    per_collection_count = np.array(
+        [int(round(2 * pi * source_distance / gc.lateral_period))
+         for _, gc in collections])
     return {"gratingcollection_list": [i[1] for i in collections],
-            "r_center_list": r_center_list,
-            "r_min_list": r_center_list - 0.5 * grating_period_list,
-            "r_max_list": r_center_list + 0.5 * grating_period_list,
-            "grating_period_list": grating_period_list,
-            "gratingcollection_index_here_list":
-                np.array(gratingcollection_index_here_list),
-            "num_around_circle_list": np.array(num_around_circle_list)}
+            "r_center_list": r_center,
+            "r_min_list": inner,
+            "r_max_list": outer,
+            "grating_period_list": outer - inner,
+            "gratingcollection_index_here_list": which,
+            "num_around_circle_list": per_collection_count[which]}
 
 
 def make_periphery_xyrra_list(lens_periphery_summary, progress=False):

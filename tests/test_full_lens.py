@@ -10,6 +10,7 @@ import pytest
 
 from metalens_tpu import Grating, GratingCollection
 from metalens_tpu.assembly import (design_periphery, make_design,
+                                   target_phase_zeros,
                                    make_periphery_xyrra_list)
 from metalens_tpu.hexgrid import HexGridSet
 from metalens_tpu.nearfield import build_nearfield
@@ -139,6 +140,34 @@ def test_nearfield_farfield_focuses(mini_lens):
     assert 0.05 < m["transmission"] < 1.001
     # focused fraction dominates scattered background
     assert m["spot_fraction_of_total"] > 0.3
+
+
+def test_design_periphery_ring_layout_invariants(mini_lens):
+    """The vectorized ring layout (round 4): rings exactly tile the phase
+    zeros from the innermost bracket edge to the first zero past the rim;
+    each ring's bracket contains its center angle; error paths raise."""
+    (gc, hgs, lps, lcs, r_switch, xyrra, d, radius) = mini_lens
+    zeros = np.asarray(target_phase_zeros(radius + 2 * um, d))
+    lo = 8.0 * degree
+    zeros = zeros[zeros > d * math.tan(lo)]
+    np.testing.assert_allclose(lps["r_min_list"], zeros[:len(lps["r_min_list"])])
+    np.testing.assert_allclose(lps["r_max_list"],
+                               zeros[1:1 + len(lps["r_max_list"])])
+    # exactly one ring crosses the rim, and it is the last
+    assert (lps["r_max_list"] > radius).sum() == 1
+    assert lps["r_max_list"][-1] > radius >= lps["r_min_list"][-1]
+    # bracket containment at ring centers
+    ang = np.arctan2(lps["r_center_list"], d)
+    assert (ang <= 18.0 * degree + 1e-12).all()
+    assert (lps["gratingcollection_index_here_list"] == 0).all()
+    # error paths
+    coll = [[(8.0 * degree, 18.0 * degree), gc]]
+    with pytest.raises(ValueError, match="radius is too big"):
+        design_periphery(coll, d, 5 * radius)
+    # the first zero past d*tan(lo)=3.5um sits at 5.44um; a rim whose
+    # +2um zero window ends before it leaves no ring
+    with pytest.raises(ValueError, match="too small"):
+        design_periphery(coll, d, 3.0 * um)
 
 
 def test_vary_angle_one_step_gradient():
