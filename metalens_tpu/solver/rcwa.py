@@ -162,20 +162,23 @@ def thin_slab_T_blocks(F: C, G: C, t, taylor_terms: int):
 
     The three series share powers of Y and are evaluated jointly by
     Paterson-Stockmeyer chunking (9 matmuls at the default 12 terms vs 12
-    for a term-by-term loop).
+    for a term-by-term loop).  On TPU-class backends the whole evaluation
+    runs as one fused VMEM kernel (solver/pallas_taylor.py): the ~17
+    complex matmuls are HBM-round-trip-bound as separate XLA ops.
     """
     n2 = F.shape[0]
     I = cpx.eye(n2, F.re.dtype)
-    Y = (F @ G) * (t * t)
-    ks = range(taylor_terms + 1)
-    cC = [(-1.0) ** k / math.factorial(2 * k) for k in ks]
-    cS = [(-1.0) ** k / math.factorial(2 * k + 1) for k in ks]
-    cR = [(-1.0) ** (k + 1) / math.factorial(2 * k + 2) for k in ks]
-    Csum, Ssum, Rsum = _shared_power_polys(Y, I, [cC, cS, cR])
+    from . import pallas_taylor
+    if pallas_taylor.eligible(F):
+        Csum, SF, GS, GRF = pallas_taylor.taylor_factors(F, G, t,
+                                                         taylor_terms)
+    else:
+        Csum, SF, GS, GRF = pallas_taylor.xla_factors(F, G, t,
+                                                      taylor_terms)
     T11 = Csum
-    T12 = (Ssum @ F) * 1j * t
-    T21 = (G @ Ssum) * 1j * t
-    T22 = I + (G @ (Rsum @ F)) * (t * t)
+    T12 = SF * 1j * t
+    T21 = GS * 1j * t
+    T22 = I + GRF * (t * t)
     return T11, T12, T21, T22
 
 
