@@ -43,12 +43,12 @@ def main():
                     help="disable the fused Pallas inverse kernel (A/B)")
     ap.add_argument("--gj-base", type=int, default=0,
                     help="override the Pallas Gauss-Jordan base size (A/B)")
-    ap.add_argument("--gj-block", type=int, default=0,
-                    help="override the Pallas GJ pivot-block size "
-                         "(1 = rank-1 formulation, A/B)")
     ap.add_argument("--taylor-kernel", action="store_true",
-                    help="route the slab Taylor series through the fused "
-                         "Pallas kernel (A/B; solver/pallas_taylor.py)")
+                    help="force the fused Pallas Taylor kernel on "
+                         "(default since round 4; solver/pallas_taylor.py)")
+    ap.add_argument("--no-taylor-kernel", action="store_true",
+                    help="route the slab Taylor series through plain XLA "
+                         "matmuls instead of the fused kernel (A/B)")
     ap.add_argument("--full-smatrix", action="store_true",
                     help="form all four S blocks instead of the engine "
                          "programs' s11+s21 subset (A/B of the partial-"
@@ -73,12 +73,9 @@ def main():
     if args.gj_base:
         from metalens_tpu.solver import pallas_inv
         pallas_inv._GJ_BASE = args.gj_base
-    if args.gj_block:
-        from metalens_tpu.solver import pallas_inv
-        pallas_inv._GJ_BLOCK = args.gj_block
-    if args.taylor_kernel:
+    if args.taylor_kernel or args.no_taylor_kernel:
         from metalens_tpu.solver import pallas_taylor
-        pallas_taylor.USE_PALLAS_TAYLOR = True
+        pallas_taylor.USE_PALLAS_TAYLOR = not args.no_taylor_kernel
     from metalens_tpu.units import nm
 
     LX, LY = 1200 * nm, 320 * nm

@@ -28,8 +28,6 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--depth", type=int, default=16)
     ap.add_argument("--gj-base", type=int, default=0)
-    ap.add_argument("--gj-block", type=int, default=0,
-                    help="GJ pivot-block size (1 = rank-1 formulation)")
     ap.add_argument("--group", type=int, default=0,
                     help="override matrices per kernel instance")
     ap.add_argument("--passes", choices=["highest", "high", "default"],
@@ -50,8 +48,6 @@ def main():
 
     if args.gj_base:
         pallas_inv._GJ_BASE = args.gj_base
-    if args.gj_block:
-        pallas_inv._GJ_BLOCK = args.gj_block
     if args.group:
         pallas_inv._GROUP_OVERRIDE = args.group
     pallas_inv._HIGH = {"highest": jax.lax.Precision.HIGHEST,

@@ -63,18 +63,17 @@ from .cpx import C
 _GJ_BASE = 56
 _HIGH = jax.lax.Precision.HIGHEST
 _GROUP_OVERRIDE = None   # int to force matrices-per-grid-step (bench A/Bs)
-# Base-case elimination style: rank-8 pivot BLOCKS (panel elimination +
-# one MXU rank-8 update per block step) vs the round-2 rank-1 formulation
-# (one scalar-pivot VPU update per column).  The blocked form has ~7x
-# fewer elimination steps and moves the bulk update to K=8 MXU passes,
-# BUT costs ~3 digits of accuracy on the large-dynamic-range
-# slab-transfer class (measured in pure f64 numpy: 2e-11 vs 2e-14 rel,
-# and 6e-3 vs 4e-6 in f32, on a cond-3e3 capture with |A|~2e3: the
-# accumulated rank-8 products |G||S| ~ 1e4 cancel to O(1e3), where the
-# rank-1 path's immediately-applied updates keep intermediates small).
-# Rank-1 stays the default; the knob is the measured A/B
-# (bench.py --gj-block 8).
-_GJ_BLOCK = 1            # 8 = rank-8 blocked elimination
+# NEGATIVE result (round 4, removed -- code in git history): a rank-8
+# BLOCKED Gauss-Jordan base (panel elimination + one MXU rank-pb update
+# per block step, ~7x fewer elimination steps) measured whole-program
+# SLOWER (numG=50 5065 vs 6411/s; numG=100 1915 vs 1977/s -- the K=8
+# HIGHEST-precision MXU passes and tiny panel ops cost more issue slots
+# than the rank-1 VPU broadcasts they replace) AND ~3 decimal digits
+# less accurate on the large-dynamic-range slab-transfer class (pure
+# f64 numpy: 2e-11 vs 2e-14 rel; f32 6e-3 vs 4e-6 on a cond-3e3 capture
+# with |A|~2e3: the accumulated rank-8 products |G||S| ~ 1e4 cancel to
+# O(1e3), where rank-1's immediately-applied updates keep intermediates
+# small).
 
 
 def _dot(a, b, prec):
@@ -140,112 +139,24 @@ def _gj_multi(Ms, n):
     return [(Mr[:, n:], Mi[:, n:]) for Mr, Mi in augs]
 
 
-def _cmul4_multi(As, Bs, prec):
-    """4-real-matmul complex products, interleaved.  Used for the blocked
-    Gauss-Jordan's rank-pb updates instead of Karatsuba: the (re + im)
-    cross term cancels against t1 + t2 and was measured to cost ~15x
-    accuracy on the elimination chain (5.6e-6 vs 3.6e-7 relative on a
-    captured hot-path inverse); at K = pb = 8 the fourth MXU pass is
-    noise."""
-    rr = [_dot(a[0], b[0], prec) for a, b in zip(As, Bs)]
-    ii = [_dot(a[1], b[1], prec) for a, b in zip(As, Bs)]
-    ri = [_dot(a[0], b[1], prec) for a, b in zip(As, Bs)]
-    ir = [_dot(a[1], b[0], prec) for a, b in zip(As, Bs)]
-    return [(x1 - x2, x3 + x4) for x1, x2, x3, x4 in zip(rr, ii, ri, ir)]
 
 
-def _gj_panel_multi(panels, c0, pb):
-    """Rank-1 Gauss-Jordan elimination of a pb-row PANEL against its own
-    pivot columns c0..c0+pb-1 (all static): after pb steps the panel holds
-    S = D^-1 R where D was the pivot block and R the original rows --
-    computed by sequential elimination, NOT by an explicit D^-1 multiply
-    (explicitly inverting the pivot block and multiplying was measured
-    ~800x less accurate on the slab-transfer matrix class: a cond-3e3
-    full matrix hit 6.9e-3 vs rank-1's 8.5e-6; panel elimination restores
-    the unblocked error envelope, the standard blocked-LU result).
 
-    Identical update rule to :func:`_gj_multi`, restricted to the panel
-    rows; operands are (pb, width) values, so the VPU element work per
-    full elimination drops ~(n/pb)x vs eliminating on the full matrix."""
-    pr_iota = jax.lax.broadcasted_iota(jnp.int32, (pb, 1), 0)
-    out = panels
-    for k in range(pb):
-        ek = None
-        nxt = []
-        for Mr, Mi in out:
-            pr = Mr[k, c0 + k]
-            pi = Mi[k, c0 + k]
-            d = pr * pr + pi * pi
-            cr = pr / d
-            ci = -pi / d
-            rowr = Mr[k:k + 1, :]
-            rowi = Mi[k:k + 1, :]
-            sr = rowr * cr - rowi * ci
-            si = rowr * ci + rowi * cr
-            if ek is None:
-                ek = (pr_iota == k).astype(Mr.dtype)
-            gr = Mr[:, c0 + k:c0 + k + 1] - ek
-            gi = Mi[:, c0 + k:c0 + k + 1]
-            nxt.append((Mr - (gr * sr - gi * si), Mi - (gr * si + gi * sr)))
-        out = nxt
-    return out
-
-
-def _gj_multi_blocked(Ms, n, prec, pb):
-    """G interleaved unpivoted BLOCK Gauss-Jordan inverses: eliminate pb
-    columns per step instead of one.  Each block step eliminates the
-    pb-row pivot PANEL in place by rank-1 steps (tiny operands, see
-    :func:`_gj_panel_multi`), leaving S = D^-1 M[c:c+pb, :], then applies
-    one fused rank-pb MXU update of the augmented [M | X]:
-
-        M <- M - (M[:, c:c+pb] - E_c) S
-
-    the exact block generalization of the rank-1 trick: rows outside the
-    panel are eliminated, and the panel rows become S in place, since
-    (D - I) S subtracted from them leaves exactly S.  n/pb MXU rank-pb
-    passes replace n full-height VPU broadcast updates -- same unpivoted
-    elimination order and stability contract as :func:`_gj_multi`
-    (identical up to float accumulation order; pinned in tests)."""
-    assert n % pb == 0
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
-    riota = jax.lax.broadcasted_iota(jnp.int32, (n, pb), 0)
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (n, pb), 1)
-    augs = []
-    for ar, ai in Ms:
-        augs.append((jnp.concatenate([ar, eye.astype(ar.dtype)], axis=1),
-                     jnp.concatenate([ai, jnp.zeros((n, n), ar.dtype)],
-                                     axis=1)))
-    for kb in range(n // pb):
-        c0 = kb * pb
-        Ss = _gj_panel_multi([(Mr[c0:c0 + pb, :], Mi[c0:c0 + pb, :])
-                              for Mr, Mi in augs], c0, pb)
-        ekb = (riota == ciota + c0)
-        Gs = [(Mr[:, c0:c0 + pb] - ekb.astype(Mr.dtype),
-               Mi[:, c0:c0 + pb]) for Mr, Mi in augs]
-        upds = _cmul4_multi(Gs, Ss, prec)
-        augs = [(Mr - ur, Mi - ui)
-                for (Mr, Mi), (ur, ui) in zip(augs, upds)]
-    return [(Mr[:, n:], Mi[:, n:]) for Mr, Mi in augs]
-
-
-def _cinv_multi(As, size, gj_base, prec, gj_block=1):
+def _cinv_multi(As, size, gj_base, prec):
     """Statically unrolled block-recursive inverse of G independent
     matrices (values in VMEM), primitives interleaved across the G."""
     if size <= gj_base:
-        if gj_block > 1 and size % gj_block == 0 and size > gj_block:
-            return _gj_multi_blocked(As, size, prec, gj_block)
         return _gj_multi(As, size)
     m = size // 2
     A11 = [(ar[:m, :m], ai[:m, :m]) for ar, ai in As]
     A12 = [(ar[:m, m:], ai[:m, m:]) for ar, ai in As]
     A21 = [(ar[m:, :m], ai[m:, :m]) for ar, ai in As]
     A22 = [(ar[m:, m:], ai[m:, m:]) for ar, ai in As]
-    I11 = _cinv_multi(A11, m, gj_base, prec, gj_block)
+    I11 = _cinv_multi(A11, m, gj_base, prec)
     W = _cmul_multi(I11, A12, prec)
     T = _cmul_multi(A21, W, prec)
     SI = _cinv_multi([(a[0] - t[0], a[1] - t[1])
-                      for a, t in zip(A22, T)], m, gj_base, prec, gj_block)
+                      for a, t in zip(A22, T)], m, gj_base, prec)
     V = _cmul_multi(A21, I11, prec)
     SiV = _cmul_multi(SI, V, prec)
     U = _cmul_multi(W, SiV, prec)
@@ -261,10 +172,9 @@ def _cinv_multi(As, size, gj_base, prec, gj_block=1):
     return outs
 
 
-def _inv_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, P, G, gj_base, prec,
-                gj_block):
+def _inv_kernel(ar_ref, ai_ref, or_ref, oi_ref, *, P, G, gj_base, prec):
     outs = _cinv_multi([(ar_ref[g], ai_ref[g]) for g in range(G)], P,
-                       gj_base, prec, gj_block)
+                       gj_base, prec)
     for g, (wr, wi) in enumerate(outs):
         or_ref[g] = wr
         oi_ref[g] = wi
@@ -307,8 +217,7 @@ def _pick_group(P: int, B: int, override=None) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _build_call(P: int, interpret: bool, G: int, gj_base: int, prec,
-                gj_block: int = 1):
+def _build_call(P: int, interpret: bool, G: int, gj_base: int, prec):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -319,7 +228,7 @@ def _build_call(P: int, interpret: bool, G: int, gj_base: int, prec,
         B = ar.shape[0]
         return pl.pallas_call(
             functools.partial(_inv_kernel, P=P, G=G, gj_base=gj_base,
-                              prec=prec, gj_block=gj_block),
+                              prec=prec),
             grid=(B // G,),
             in_specs=[spec, spec],
             out_specs=[spec, spec],
@@ -333,8 +242,7 @@ def _build_call(P: int, interpret: bool, G: int, gj_base: int, prec,
 
 
 @functools.lru_cache(maxsize=16)
-def _inv_core(P: int, interpret: bool, gj_base: int, prec, group=None,
-              gj_block: int = 1):
+def _inv_core(P: int, interpret: bool, gj_base: int, prec, group=None):
     """Single-matrix (P, P) inverse with a CUSTOM VMAP RULE: production
     code calls the inverse per cell under jax.vmap, where the default
     pallas batching would lift to a G=1 grid (one matrix per grid step --
@@ -344,8 +252,8 @@ def _inv_core(P: int, interpret: bool, gj_base: int, prec, group=None,
 
     @custom_batching.custom_vmap
     def core(ar, ai):
-        wr, wi = _build_call(P, interpret, 1, gj_base, prec,
-                             gj_block)(ar[None], ai[None])
+        wr, wi = _build_call(P, interpret, 1, gj_base, prec)(ar[None],
+                                                             ai[None])
         return wr[0], wi[0]
 
     @core.def_vmap
@@ -365,8 +273,7 @@ def _inv_core(P: int, interpret: bool, gj_base: int, prec, group=None,
                                       (pad, P, P))], axis=0)
             ai = jnp.concatenate(
                 [ai, jnp.zeros((pad, P, P), ai.dtype)], axis=0)
-        wr, wi = _build_call(P, interpret, G, gj_base, prec,
-                             gj_block)(ar, ai)
+        wr, wi = _build_call(P, interpret, G, gj_base, prec)(ar, ai)
         if pad:
             wr, wi = wr[:axis_size], wi[:axis_size]
         return (wr, wi), (True, True)
@@ -431,8 +338,7 @@ def inv_pallas(A: C, interpret: bool = False) -> C:
             jnp.pad(ar, ((0, 0), (0, 0), (0, P - n))),
             jnp.broadcast_to(eye_tail, (B, P - n, P))], axis=1)
         ai = jnp.pad(ai, ((0, 0), (0, P - n), (0, P - n)))
-    core = _inv_core(P, interpret, _GJ_BASE, _HIGH, _GROUP_OVERRIDE,
-                     _GJ_BLOCK)
+    core = _inv_core(P, interpret, _GJ_BASE, _HIGH, _GROUP_OVERRIDE)
     if batched:
         wr, wi = jax.vmap(core)(ar, ai)       # rule -> grouped kernel
     else:

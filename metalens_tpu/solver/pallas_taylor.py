@@ -59,9 +59,13 @@ from . import cpx
 from .cpx import C
 
 _HIGH = jax.lax.Precision.HIGHEST
-# Default-on only after on-chip verification: bench.py --taylor-kernel is
-# the A/B entry; tests pin interpret-mode correctness either way.
-USE_PALLAS_TAYLOR = False
+# Default ON since round 4: whole-program measured on chip vs the XLA
+# formulation at the same commit -- numG=50 b1024: 6411 -> 6924/7250
+# best-of-windows (two runs), numG=100 b512 fff: 1977 -> 2234/2289 --
+# with the bench.py accuracy guard green (operating-point f32 error vs
+# committed f64 truth unchanged at ~2e-4).  bench.py --taylor-kernel
+# forces it on when the default is off (A/B).
+USE_PALLAS_TAYLOR = True
 
 
 def _ps_split(d: int, n_poly: int = 3):

@@ -120,29 +120,6 @@ def test_vmap_odd_batch_identity_pad():
     assert pallas_inv._pick_group(256, 25) == 2
 
 
-def test_blocked_gj_matches_rank1():
-    """The rank-8 blocked Gauss-Jordan base (round 4) must agree with the
-    rank-1 formulation it accelerates -- same unpivoted elimination, the
-    pivot work just moves from 56 VPU broadcast updates to 7 MXU rank-8
-    updates per base-case inverse."""
-    from metalens_tpu.solver import pallas_inv
-    rng = np.random.default_rng(4)
-    A_np = _rand_wellcond(rng, 100, 2)
-    Ac = cpx.from_np(A_np)
-    old = pallas_inv._GJ_BLOCK
-    try:
-        pallas_inv._GJ_BLOCK = 8
-        W8 = cpx.to_np(inv_pallas(Ac, True))
-        pallas_inv._GJ_BLOCK = 1
-        W1 = cpx.to_np(inv_pallas(Ac, True))
-    finally:
-        pallas_inv._GJ_BLOCK = old
-    for b in range(2):
-        assert np.abs(W8[b] @ A_np[b] - np.eye(100)).max() < 5e-5
-    # identical elimination order => bit-close agreement, not just both-valid
-    assert np.abs(W8 - W1).max() / np.abs(W1).max() < 2e-6
-
-
 def test_out_of_range_n_raises():
     rng = np.random.default_rng(3)
     A_np = _rand_wellcond(rng, 300)
