@@ -80,18 +80,20 @@ def stage_design(art):
         gc = load(path)
         print(f"# dense bracket resumed from {path}", flush=True)
     else:
+        rng = np.random.default_rng(3002)   # reproducible (round 4)
         g0 = _seed_grating(lo - 0.3, npil)
         g0 = optimize(g0, target_wavelength=580 * nm, numG=DESIGN_NUMG,
-                      terms=terms, verbose=False)
+                      terms=terms, verbose=False, rng=rng)
         g0 = optimize2(g0, target_wavelength=580 * nm, attempts=40,
-                       numG=DESIGN_NUMG, terms=terms, verbose=False)
+                       numG=DESIGN_NUMG, terms=terms, verbose=False,
+                       rng=rng)
         end = math.atan(DENSE_STEP * math.tan(hi * degree))
         gc = vary_angle(start_grating=g0, end_angle=end,
                         lens_type="round", target_wavelength=580 * nm,
                         numG=DESIGN_NUMG, terms=terms, use_gradient=False,
                         optimize2_attempts=15, verbose=False,
                         change_each_step=DENSE_STEP,
-                        similarity_each_step=DENSE_SIMILARITY)
+                        similarity_each_step=DENSE_SIMILARITY, rng=rng)
         save(gc, path)
     wall = time.perf_counter() - t0
 

@@ -142,7 +142,7 @@ def validate(sizes, artifacts=None):
         except Exception as e:
             print(json.dumps({"num_x": n, "points": n * n, "ok": False,
                               "bytes_model": n * n * BYTES_PER_POINT,
-                              "error": f"{type(e).__name__}: {e}"[:500]}),
+                              "error": f"{type(e).__name__}: {e}"[:3000]}),
                   flush=True)
             break
 

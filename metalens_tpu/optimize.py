@@ -120,7 +120,7 @@ def _probe_batch_size(g):
 
 def optimize(mygrating_start, target_wavelength, similar_to=None,
              how_similar=None, subfolder=None, numG=50, terms=None,
-             verbose=True):
+             verbose=True, rng=None):
     """Cyclic coordinate descent: shuffled sweeps over every (ellipse,
     parameter) coordinate, ratcheting each one by +-1 nm (+-0.3 deg for the
     rotation column) while the FOM holds or improves, until a full sweep
@@ -132,7 +132,13 @@ def optimize(mygrating_start, target_wavelength, similar_to=None,
     Probe batching: the first steps of ALL 2*nE*5 directions are evaluated
     in one device dispatch per geometry change, and each winning walk in
     one more -- a full no-progress sweep (every run's last pass) costs one
-    dispatch instead of 2*nE*5."""
+    dispatch instead of 2*nE*5.
+
+    ``rng``: optional numpy Generator controlling the sweep shuffle; None
+    keeps the stdlib global RNG (historical behavior).  Design
+    realizations with equal FOMs were measured to differ 2x in raw
+    off-design transmission (BASELINE.md round 4), so reproducible runs
+    should seed this."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     g = mygrating_start.copy()
@@ -159,7 +165,10 @@ def optimize(mygrating_start, target_wavelength, similar_to=None,
     stalled = False
     first_step_fom = None   # invalidated whenever the geometry moves
     while not stalled:
-        random.shuffle(coords)
+        if rng is None:
+            random.shuffle(coords)
+        else:
+            rng.shuffle(coords)
         stalled = True
         for e, p in coords:
             size = 0.3 * degree if p == 4 else 1 * nm
@@ -390,7 +399,7 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                target_wavelength=None, start_grating_collection=None,
                subfolder=None, numG=50, terms=None, use_gradient=False,
                optimize2_attempts=200, gradient_steps=120, verbose=True,
-               change_each_step=1.01, similarity_each_step=0.03):
+               change_each_step=1.01, similarity_each_step=0.03, rng=None):
     """Geometric continuation building a GratingCollection (reference
     ``grating.py:820-918``): step the period by 1% per iteration, re-seed
     from the previous solution via :func:`resize`, re-optimize under a 3%
@@ -417,6 +426,10 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
     proportionally wider 0.15 trust region, ~37 members) trade interpolation
     density in the collection for a much cheaper design stage --
     GratingCollection.get_one blends between members either way.
+
+    ``rng``: optional numpy Generator threaded into every inner
+    optimize/optimize2 call for reproducible continuations (None = the
+    historical global-RNG behavior).
     """
     if start_grating_collection is None:
         if start_grating is None or target_wavelength is None:
@@ -485,20 +498,20 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose)
+                verbose=verbose, rng=rng)
         else:
             grating_new = optimize(
                 grating_new_start,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose)
+                verbose=verbose, rng=rng)
             grating_new = optimize2(
                 grating_new, attempts=optimize2_attempts,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose)
+                verbose=verbose, rng=rng)
 
         all_gratings.add_one(grating_new)
 

@@ -47,6 +47,23 @@ def test_optimize2_improves():
     assert f1 >= f0
 
 
+def test_seeded_runs_reproduce():
+    """rng-threading (round 4): the same seed must give bit-identical
+    designs -- equal-FOM realizations were measured to differ 2x in raw
+    off-design transmission, so the ledger runs are seeded now."""
+    outs = []
+    for _ in range(2):
+        g = start_grating()
+        rng = np.random.default_rng(7)
+        g1 = optimize(g, target_wavelength=LAM, numG=20, terms=TERMS,
+                      similar_to=g.xyrra_list.copy(), how_similar=0.02,
+                      verbose=False, rng=rng)
+        g2 = optimize2(g1, target_wavelength=LAM, attempts=8, numG=20,
+                       terms=TERMS, verbose=False, rng=rng)
+        outs.append(g2.xyrra_list.copy())
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_gradient_beats_random_at_equal_solve_budget():
     g = start_grating()
     rng = np.random.default_rng(1)
