@@ -27,7 +27,7 @@ def main():
                     help="timed solves per window")
     ap.add_argument("--windows", type=int, default=4,
                     help="timing windows; the best is reported (the remote "
-                         "chip tunnel has ~20% run-to-run noise)")
+                         "chip tunnel has ~20%% run-to-run noise)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (debug); default uses the configured "
                          "JAX platform (TPU under the driver)")

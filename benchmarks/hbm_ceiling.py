@@ -8,6 +8,35 @@ chunks at 1e7 points): an ARITHMETIC inventory of the point-shaped arrays
 the stitch holds, validated by pushing a real stitch to the predicted edge
 on chip (OOM surfaces as a clean remote-compile/alloc error).
 
+MEASURED (round 4, full NS2 lens, one v5e chip, f32):
+
+  num_x=2800  ( 7.84M points)  OK      -- largest validated stitch
+  num_x=3200  (10.24M points)  OOM     -- genuine RESOURCE_EXHAUSTED
+  num_x>=3600 (12.96M+ points) blocked by tunnel infra BEFORE reaching
+              the chip: the chipless AOT compile helper crashes with
+              "Failed to find host bounds for accelerator type" on
+              big-footprint programs (terminal-side env bug; NOT
+              reproducible or fixable from this sandbox -- setting
+              TPU_ACCELERATOR_TYPE client-side is not forwarded).
+  raw jit allocation probe: a single 14 GiB output buffer materializes
+              fine, so the chip's HBM matches the v5e spec and the
+              3200 failure is program-level liveness, not a tunnel cap.
+
+So the measured single-chip ceiling for the CURRENT stitch is
+7.84M <= C < 10.24M points -- about 4x below the 42.9M the static
+plane inventory predicts.  The inventory counts ~89 resident f32
+planes (360 B/point); the gap is peak liveness the plan-level count
+misses: the geometry stage runs EAGERLY (one remote XLA op per step,
+each holding input+output copies, nothing fused or freed until the
+scan consumes them), XLA pads every plane to (8,128) tiles, and the
+runtime holds a reserve.  MEASURED_BYTES_PER_POINT below encodes the
+validated bracket; past the ceiling, the overflow paths are
+``build_nearfield_big`` (uy-slab chunked stitch, host accumulation)
+and ``farfield_big`` (slab-chunked transform) -- the same mechanism
+the reference uses for ALL apertures above 1e7 points.  Fusing the
+eager geometry stage into one jitted program is the known lever if
+the single-shot ceiling ever needs to rise.
+
 Per-point byte model (f32 planes of num_x*num_y elements; counted from
 ``metalens_tpu/nearfield.py`` -- eager locals live for the whole call,
 jitted temporaries live inside the scan program):
@@ -49,12 +78,25 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-BYTES_PER_POINT = 360          # counted model, see module docstring
+BYTES_PER_POINT = 360          # static plane inventory, see docstring
 HBM_BYTES_V5E = 16 * 2 ** 30   # v5e: 16 GiB HBM per chip
 HBM_USABLE_FRACTION = 0.9      # runtime/program reserve
 
+# Measured on chip (round 4, NS2 lens, f32): 2800^2 ok / 3200^2 OOM.
+MEASURED_OK_POINTS = 2800 * 2800
+MEASURED_OOM_POINTS = 3200 * 3200
+# Effective peak bytes/point implied by the OOM edge (eager-geometry
+# double-buffering + tile padding on top of the 360 B resident planes).
+MEASURED_BYTES_PER_POINT = int(HBM_BYTES_V5E * HBM_USABLE_FRACTION
+                               / MEASURED_OOM_POINTS)   # ~1509
 
-def ceiling_points(n_chips=1):
+
+def ceiling_points(n_chips=1, measured=True):
+    """Points per mesh: the VALIDATED single-chip stitch size, scaled by
+    chip count (every point-shaped plane shards across the mesh in
+    parallel/nearfield.py; amplitude tables replicate)."""
+    if measured:
+        return MEASURED_OK_POINTS * n_chips
     return int(HBM_BYTES_V5E * HBM_USABLE_FRACTION * n_chips
                / BYTES_PER_POINT)
 
@@ -62,6 +104,9 @@ def ceiling_points(n_chips=1):
 def arith():
     from metalens_tpu.geometry import good_fft_number
     out = {"bytes_per_point_model": BYTES_PER_POINT,
+           "bytes_per_point_measured": MEASURED_BYTES_PER_POINT,
+           "measured_ok_points": MEASURED_OK_POINTS,
+           "measured_oom_points": MEASURED_OOM_POINTS,
            "hbm_bytes": HBM_BYTES_V5E,
            "usable_fraction": HBM_USABLE_FRACTION}
     for chips in (1, 8):
@@ -126,7 +171,7 @@ def validate(sizes, artifacts=None):
         half = 61 * um
         kind = "synthetic-center"
     print(json.dumps({"validate": kind,
-                      "model_max_points": ceiling_points(1)}), flush=True)
+                      "validated_max_points": ceiling_points(1)}), flush=True)
     for n in sizes:
         # NOTE: half-width is fixed by the lens; pushing n raises sampling
         # density, which stresses HBM identically to a bigger aperture at
