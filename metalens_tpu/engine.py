@@ -131,6 +131,55 @@ def static_solve_config(g, wavelengths, numG):
 # the FOM program
 # --------------------------------------------------------------------------
 
+def _fom_eval(xyrra, mx, my, i0, tgt, Lx, Ly, h, eps_p, eps_g, lam, ux,
+              ng_now, cos_theta, weights, *, N, Dx, Dy, n_slabs,
+              taylor_terms, inphase, small_u, fff, hermitian_eps):
+    """The FOM of ONE cell geometry as a pure traceable function (the body
+    of every FOM program; also composed into larger device programs, e.g.
+    the fused on-device design sweep in :mod:`metalens_tpu.optimize_fused`).
+    Static configuration comes in as keyword arguments; everything
+    positional is traced."""
+    from .solver.epsilon import ellipse_structure_toeplitz_traced
+    T = len(inphase)
+    total = 0.0
+    wsum = 0.0
+    orders_j = jnp.stack([mx, my], axis=1)
+    S_struct, at_zero = ellipse_structure_toeplitz_traced(
+        mx, my, Dx, Dy, Lx, Ly, xyrra, small_arg_only=small_u)
+    if fff:
+        from .solver.fff import normal_projector_toeplitz_traced, \
+            nv_blocks_from_structure
+        P_blocks = normal_projector_toeplitz_traced(mx, my, Dx, Dy,
+                                                    Lx, Ly, xyrra)
+    for t in range(T):
+        E = toeplitz_from_structure(S_struct, at_zero, eps_p[t])
+        M_blocks = None
+        if fff:
+            # shared recipe incl. the HPD-vs-pivoted solve routing;
+            # see fff.nv_blocks_from_structure
+            _, M_blocks = nv_blocks_from_structure(
+                S_struct, at_zero, eps_p[t], P_blocks,
+                hermitian=hermitian_eps, E=E)
+        cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
+        cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
+        c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
+        c = c.at[i0, 0].set(cy_s).at[i0 + N, 0].set(cx_s)
+        c = c.at[i0, 1].set(cy_p).at[i0 + N, 1].set(cx_p)
+        # the FOM reads transmission only: apply the outer conversion
+        # star directly to the 2-column incidence (no dense S blocks)
+        ampf, _, Kx, Ky = rcwa.cell_amplitudes_with_eps(
+            orders_j, E, Lx, Ly, h, eps_g[t], lam[t],
+            ux[t], 0.0, c, n_slabs=n_slabs, taylor_terms=taylor_terms,
+            M_blocks=M_blocks, hermitian_eps=hermitian_eps,
+            want_reflection=False)             # C of shape (2N, 2)
+        idx = tgt[t]
+        score = term_score(ampf[idx, 0], ampf[idx + N, 1], ng_now[t],
+                           cos_theta[t], inphase[t])
+        total = total + weights[t] * score
+        wsum = wsum + weights[t]
+    return total / wsum
+
+
 @functools.lru_cache(maxsize=256)
 def _fom_program(N: int, Dx: int, Dy: int, n_slabs: int, taylor_terms: int,
                  inphase: tuple, with_grad: bool,
@@ -149,48 +198,10 @@ def _fom_program(N: int, Dx: int, Dy: int, n_slabs: int, taylor_terms: int,
     geometry structure matrix (lambda-independent) is computed once and
     shared by all terms.
     """
-    from .solver.epsilon import ellipse_structure_toeplitz_traced
-    T = len(inphase)
-
-    def run(xyrra, mx, my, i0, tgt, Lx, Ly, h, eps_p, eps_g, lam, ux,
-            ng_now, cos_theta, weights):
-        total = 0.0
-        wsum = 0.0
-        orders_j = jnp.stack([mx, my], axis=1)
-        S_struct, at_zero = ellipse_structure_toeplitz_traced(
-            mx, my, Dx, Dy, Lx, Ly, xyrra, small_arg_only=small_u)
-        if fff:
-            from .solver.fff import normal_projector_toeplitz_traced, \
-                nv_blocks_from_structure
-            P_blocks = normal_projector_toeplitz_traced(mx, my, Dx, Dy,
-                                                        Lx, Ly, xyrra)
-        for t in range(T):
-            E = toeplitz_from_structure(S_struct, at_zero, eps_p[t])
-            M_blocks = None
-            if fff:
-                # shared recipe incl. the HPD-vs-pivoted solve routing;
-                # see fff.nv_blocks_from_structure
-                _, M_blocks = nv_blocks_from_structure(
-                    S_struct, at_zero, eps_p[t], P_blocks,
-                    hermitian=hermitian_eps, E=E)
-            cy_s, cx_s = basis.incident_sp_amplitudes(ux[t], 0.0, "s")
-            cy_p, cx_p = basis.incident_sp_amplitudes(ux[t], 0.0, "p")
-            c = jnp.zeros((2 * N, 2), dtype=xyrra.dtype)
-            c = c.at[i0, 0].set(cy_s).at[i0 + N, 0].set(cx_s)
-            c = c.at[i0, 1].set(cy_p).at[i0 + N, 1].set(cx_p)
-            # the FOM reads transmission only: apply the outer conversion
-            # star directly to the 2-column incidence (no dense S blocks)
-            ampf, _, Kx, Ky = rcwa.cell_amplitudes_with_eps(
-                orders_j, E, Lx, Ly, h, eps_g[t], lam[t],
-                ux[t], 0.0, c, n_slabs=n_slabs, taylor_terms=taylor_terms,
-                M_blocks=M_blocks, hermitian_eps=hermitian_eps,
-                want_reflection=False)             # C of shape (2N, 2)
-            idx = tgt[t]
-            score = term_score(ampf[idx, 0], ampf[idx + N, 1], ng_now[t],
-                               cos_theta[t], inphase[t])
-            total = total + weights[t] * score
-            wsum = wsum + weights[t]
-        return total / wsum
+    run = functools.partial(
+        _fom_eval, N=N, Dx=Dx, Dy=Dy, n_slabs=n_slabs,
+        taylor_terms=taylor_terms, inphase=inphase, small_u=small_u,
+        fff=fff, hermitian_eps=hermitian_eps)
 
     if with_grad:
         return jax.jit(jax.value_and_grad(run))

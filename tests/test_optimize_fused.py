@@ -1,0 +1,87 @@
+"""Fused on-device optimizer tests: the validate() twin agrees with the
+host check, the fused coordinate descent matches the host loop's quality
+from the same start, runs reproduce per seed, and the multi-dispatch
+continuation (max_rounds_per_dispatch) is seamless."""
+
+import numpy as np
+import pytest
+
+from metalens_tpu import Grating, validate
+from metalens_tpu.grating import min_diameter, min_distance
+from metalens_tpu.optimize_fused import (optimize_fused, optimize2_fused,
+                                         feasible_traced)
+from metalens_tpu.solver.fom import FomTerm
+from metalens_tpu.units import nm, degree
+
+LAM = 580 * nm
+TERMS = [FomTerm(LAM, 1.0, -1, True)]
+
+
+def start_grating():
+    return Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                   target_wavelength=LAM, angle_in_air=30 * degree,
+                   xyrra_list_in_nm_deg=np.array([[0., 0., 110., 90., 0.]]))
+
+
+def two_pillar_grating():
+    return Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                   target_wavelength=LAM, angle_in_air=30 * degree,
+                   xyrra_list_in_nm_deg=np.array(
+                       [[-300., 0., 110., 90., 0.],
+                        [250., 40., 80., 70., 10.]]))
+
+
+def test_feasible_traced_agrees_with_host_validate():
+    """The on-device gate (margin=0) must agree with grating.validate on
+    random perturbations spanning feasible and infeasible geometries."""
+    rng = np.random.default_rng(0)
+    g = two_pillar_grating()
+    sim = g.xyrra_list.copy()
+    Lx, Ly = g.grating_period, g.lateral_period
+    agree = 0
+    n = 200
+    for _ in range(n):
+        x = sim + rng.normal(0.0, 12 * nm, sim.shape)
+        x[:, 4] = sim[:, 4] + rng.normal(0.0, 2 * degree, sim.shape[0])
+        gg = g.copy()
+        gg.xyrra_list = x
+        host = validate(gg, similar_to=sim, how_similar=0.05)
+        dev = bool(feasible_traced(x, Lx, Ly, min_diameter / 2,
+                                   min_distance, sim=sim, how_similar=0.05))
+        agree += host == dev
+    assert agree == n
+
+
+def test_fused_cd_matches_host_quality_and_revalidates():
+    g = start_grating()
+    sim = g.xyrra_list.copy()
+    f0 = g.fom(target_wavelength=LAM, numG=20, terms=TERMS)
+    g_f = optimize_fused(g, target_wavelength=LAM, numG=20, terms=TERMS,
+                         similar_to=sim, how_similar=0.02, verbose=False,
+                         seed=0)
+    f1 = g_f.fom(target_wavelength=LAM, numG=20, terms=TERMS)
+    assert f1 >= f0
+    assert validate(g_f, similar_to=sim, how_similar=0.02)
+    np.testing.assert_allclose(g.xyrra_list, sim)   # input untouched
+
+
+def test_fused_cd_reproduces_and_continuation_is_seamless():
+    """max_rounds_per_dispatch=2 forces the host re-dispatch path; the
+    result must be identical to the single-dispatch run (the loop state
+    round-trips exactly)."""
+    g = start_grating()
+    sim = g.xyrra_list.copy()
+    kw = dict(target_wavelength=LAM, numG=20, terms=TERMS, similar_to=sim,
+              how_similar=0.02, verbose=False, seed=3)
+    g_a = optimize_fused(g, max_rounds_per_dispatch=64, **kw)
+    g_b = optimize_fused(g, max_rounds_per_dispatch=2, **kw)
+    np.testing.assert_array_equal(g_a.xyrra_list, g_b.xyrra_list)
+
+
+def test_optimize2_fused_improves():
+    g = start_grating()
+    f0 = g.fom(target_wavelength=LAM, numG=20, terms=TERMS)
+    g_r = optimize2_fused(g, target_wavelength=LAM, attempts=15, numG=20,
+                          terms=TERMS, verbose=False, seed=1)
+    f1 = g_r.fom(target_wavelength=LAM, numG=20, terms=TERMS)
+    assert f1 >= f0
