@@ -399,7 +399,8 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                target_wavelength=None, start_grating_collection=None,
                subfolder=None, numG=50, terms=None, use_gradient=False,
                optimize2_attempts=200, gradient_steps=120, verbose=True,
-               change_each_step=1.01, similarity_each_step=0.03, rng=None):
+               change_each_step=1.01, similarity_each_step=0.03, rng=None,
+               use_fused=False):
     """Geometric continuation building a GratingCollection (reference
     ``grating.py:820-918``): step the period by 1% per iteration, re-seed
     from the previous solution via :func:`resize`, re-optimize under a 3%
@@ -430,7 +431,17 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
     ``rng``: optional numpy Generator threaded into every inner
     optimize/optimize2 call for reproducible continuations (None = the
     historical global-RNG behavior).
+
+    ``use_fused=True`` routes each member through
+    :func:`metalens_tpu.optimize_fused.optimize_fused` /
+    ``optimize2_fused`` — the same acceptance semantics with the whole
+    ratchet loop on device (one dispatch per ~max_rounds accepted moves
+    instead of one per probe).  Member seeds are drawn from ``rng`` so a
+    seeded continuation stays reproducible; exclusive of
+    ``use_gradient``.
     """
+    if use_fused and use_gradient:
+        raise ValueError("use_fused and use_gradient are exclusive")
     if start_grating_collection is None:
         if start_grating is None or target_wavelength is None:
             raise ValueError(
@@ -486,7 +497,24 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                   "degree")
         grating_new_start = resize(grating_prev, grating_new_start)
 
-        if use_gradient:
+        if use_fused:
+            from .optimize_fused import optimize_fused, optimize2_fused
+            seeds = ([int(rng.integers(2 ** 31)) for _ in range(2)]
+                     if rng is not None
+                     else [random.randrange(2 ** 31) for _ in range(2)])
+            grating_new = optimize_fused(
+                grating_new_start,
+                target_wavelength=all_gratings.target_wavelength,
+                similar_to=grating_new_start.xyrra_list,
+                how_similar=similarity_each_step, numG=numG, terms=terms,
+                verbose=verbose, seed=seeds[0])
+            grating_new = optimize2_fused(
+                grating_new, attempts=optimize2_attempts,
+                target_wavelength=all_gratings.target_wavelength,
+                similar_to=grating_new_start.xyrra_list,
+                how_similar=similarity_each_step, numG=numG, terms=terms,
+                verbose=verbose, seed=seeds[1])
+        elif use_gradient:
             grating_new = optimize_gradient(
                 grating_new_start,
                 target_wavelength=all_gratings.target_wavelength,

@@ -78,6 +78,29 @@ def test_fused_cd_reproduces_and_continuation_is_seamless():
     np.testing.assert_array_equal(g_a.xyrra_list, g_b.xyrra_list)
 
 
+def test_vary_angle_use_fused_reproduces():
+    """use_fused=True routes the continuation through the device loops;
+    seeded runs must be bit-identical, and use_gradient is exclusive."""
+    import math
+    from metalens_tpu.optimize import vary_angle
+    g = start_grating()
+    end = math.atan(1.05 * math.tan(33 * degree))
+    outs = []
+    for _ in range(2):
+        rng = np.random.default_rng(5)
+        gc = vary_angle(start_grating=g, end_angle=end, lens_type="round",
+                        target_wavelength=LAM, numG=20, terms=TERMS,
+                        use_fused=True, optimize2_attempts=5, verbose=False,
+                        change_each_step=1.05, similarity_each_step=0.15,
+                        rng=rng)
+        outs.append(np.stack([m.xyrra_list for m in gc.grating_list]))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    with pytest.raises(ValueError):
+        vary_angle(start_grating=g, end_angle=end, lens_type="round",
+                   target_wavelength=LAM, numG=20, terms=TERMS,
+                   use_fused=True, use_gradient=True, verbose=False)
+
+
 def test_optimize2_fused_improves():
     g = start_grating()
     f0 = g.fom(target_wavelength=LAM, numG=20, terms=TERMS)
