@@ -64,6 +64,10 @@ BRACKETS = ((20.0, 27.0, 5), (27.0, 37.0, 4), (37.0, 48.0, 3),
             (48.0, 59.5, 2))
 CHANGE_EACH_STEP = 1.05    # ~21 members total (1% reference steps would be
 SIMILARITY = 0.15          # ~110; get_one interpolates between members)
+FUSED_DESIGN = True        # on-device optimizer loops (optimize_fused):
+#                            the round-4 host-loop measurement was ~90%
+#                            dispatch latency (bench_design_member.py);
+#                            --host-design restores the host loops
 
 
 def _ledger_update(stage, entry):
@@ -167,11 +171,23 @@ def stage_design(art):
         g0 = _seed_grating(lo - 0.3, npil)   # innermost member sits just
         # below the bracket's low edge so boundary rings interpolate
         # inside the member range
-        g0 = optimize(g0, target_wavelength=580 * nm, numG=DESIGN_NUMG,
-                      terms=terms, verbose=False, rng=rng)
-        g0 = optimize2(g0, target_wavelength=580 * nm, attempts=40,
-                       numG=DESIGN_NUMG, terms=terms, verbose=False,
-                       rng=rng)
+        if FUSED_DESIGN:
+            from metalens_tpu.optimize_fused import (optimize_fused,
+                                                     optimize2_fused)
+            g0 = optimize_fused(g0, target_wavelength=580 * nm,
+                                numG=DESIGN_NUMG, terms=terms,
+                                verbose=False,
+                                seed=int(rng.integers(2 ** 31)))
+            g0 = optimize2_fused(g0, target_wavelength=580 * nm,
+                                 attempts=40, numG=DESIGN_NUMG,
+                                 terms=terms, verbose=False,
+                                 seed=int(rng.integers(2 ** 31)))
+        else:
+            g0 = optimize(g0, target_wavelength=580 * nm, numG=DESIGN_NUMG,
+                          terms=terms, verbose=False, rng=rng)
+            g0 = optimize2(g0, target_wavelength=580 * nm, attempts=40,
+                           numG=DESIGN_NUMG, terms=terms, verbose=False,
+                           rng=rng)
         # overshoot the top edge by one continuation step so a member
         # >= hi exists (vary_angle stops at the last candidate <= end)
         end = math.atan(CHANGE_EACH_STEP * math.tan(hi * degree))
@@ -180,7 +196,8 @@ def stage_design(art):
                         numG=DESIGN_NUMG, terms=terms, use_gradient=False,
                         optimize2_attempts=15, verbose=False,
                         change_each_step=CHANGE_EACH_STEP,
-                        similarity_each_step=SIMILARITY, rng=rng)
+                        similarity_each_step=SIMILARITY, rng=rng,
+                        use_fused=FUSED_DESIGN)
         save(gc, path)
         print(f"# bracket {bi}: {len(gc.grating_list)} members "
               f"({time.perf_counter() - tb:.0f}s)", flush=True)
@@ -193,7 +210,7 @@ def stage_design(art):
                      "wall_s": round(time.perf_counter() - tb, 1)})
     _ledger_update("design", {
         "wall_s": round(time.perf_counter() - t0, 1),
-        "brackets": info, "numG": DESIGN_NUMG,
+        "brackets": info, "numG": DESIGN_NUMG, "fused": FUSED_DESIGN,
         "rgb_terms_nm": [650, 580, 450], **_hbm_stats()})
 
 
@@ -361,11 +378,17 @@ def main():
                     help="tiny-scale pipeline check (single bracket, "
                          "single wavelength, micro lens); does not "
                          "overwrite the production ledger")
+    ap.add_argument("--host-design", action="store_true",
+                    help="design stage via the host optimizer loops "
+                         "instead of the fused on-device programs")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="skip the persistent XLA compilation cache "
                          "(on by default: re-runs and resumed stages "
                          "reload executables instead of recompiling)")
     args = ap.parse_args()
+    if args.host_design:
+        global FUSED_DESIGN
+        FUSED_DESIGN = False
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
