@@ -79,6 +79,9 @@ def __getattr__(name):
     if name in ("optimize2", "optimize_gradient", "vary_angle"):
         mod = importlib.import_module(".optimize", __name__)
         return getattr(mod, name)
+    if name in ("optimize_fused", "optimize2_fused"):
+        mod = importlib.import_module(".optimize_fused", __name__)
+        return getattr(mod, name)
     if name == "HexGridSet":
         return importlib.import_module(".hexgrid", __name__).HexGridSet
     if name in ("save", "load"):

@@ -108,3 +108,12 @@ def test_optimize2_fused_improves():
                           terms=TERMS, verbose=False, seed=1)
     f1 = g_r.fom(target_wavelength=LAM, numG=20, terms=TERMS)
     assert f1 >= f0
+
+
+def test_package_level_lazy_export():
+    # optimize2_fused has no submodule-name collision: the lazy hook must
+    # return the callable regardless of import order.  (optimize_fused
+    # shares the `optimize` contract: the function wins on lazy access,
+    # an explicit submodule import shadows it with the module.)
+    import metalens_tpu
+    assert metalens_tpu.optimize2_fused is optimize2_fused
