@@ -81,6 +81,12 @@ def __getattr__(name):
         return getattr(mod, name)
     if name in ("optimize_fused", "optimize2_fused"):
         mod = importlib.import_module(".optimize_fused", __name__)
+        # pin the functions over the submodule attribute the import just
+        # installed, or `from metalens_tpu import optimize_fused` binds the
+        # MODULE (hasattr triggers this hook, the import sets the package
+        # attr, and the from-import's second lookup then sees the module)
+        globals()["optimize_fused"] = mod.optimize_fused
+        globals()["optimize2_fused"] = mod.optimize2_fused
         return getattr(mod, name)
     if name == "HexGridSet":
         return importlib.import_module(".hexgrid", __name__).HexGridSet

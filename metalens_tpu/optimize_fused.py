@@ -174,7 +174,13 @@ def _ratchet_scan(f1, wfoms, wfeas):
 
 @functools.lru_cache(maxsize=64)
 def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
-                hermitian_eps, nE, has_sim, max_rounds, max_steps):
+                hermitian_eps, nE, max_rounds, max_steps):
+    # NOTE: `sim` is ALWAYS an array input (the unconstrained case passes
+    # the start geometry with how_similar=inf, which the trust-region
+    # comparisons vacuously satisfy) so seed members and trust-region
+    # continuation members share ONE compiled program per (nE, config) --
+    # a separate has_sim signature doubled the remote-compile tax of a
+    # cold NS2 design run for a branch that costs a handful of VPU ops.
     fom1 = functools.partial(
         _fom_eval, N=N, Dx=Dx, Dy=Dy, n_slabs=n_slabs,
         taylor_terms=taylor_terms, inphase=inphase, small_u=False,
@@ -185,14 +191,13 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
     def run(xyrra, sim, how_similar, min_r, min_gap, key,
             mx, my, i0, tgt, Lx, Ly, h, *arrays):
         dirs = _unit_directions(nE, xyrra.dtype)
-        sim_or_none = sim if has_sim else None
 
         def fom_of(x):
             return fom1(x, mx, my, i0, tgt, Lx, Ly, h, *arrays)
 
         def feas_of(x):
             return feasible_traced(x, Lx, Ly, min_r, min_gap,
-                                   sim=sim_or_none, how_similar=how_similar,
+                                   sim=sim, how_similar=how_similar,
                                    margin=1e-5)
 
         fom0 = fom_of(xyrra)
@@ -253,10 +258,10 @@ def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
     tgt_j = jnp.asarray(tgt, jnp.int32)
     has_sim = similar_to is not None
     prog = _cd_program(len(orders), Dx, Dy, n_slabs, taylor, inph, True,
-                       hermitian, g.xyrra_list.shape[0], has_sim,
+                       hermitian, g.xyrra_list.shape[0],
                        int(max_rounds_per_dispatch), 10)
     sim = jnp.asarray(similar_to if has_sim else g.xyrra_list, rdtype)
-    hs = jnp.asarray(how_similar if has_sim else 0.0, rdtype)
+    hs = jnp.asarray(how_similar if has_sim else np.inf, rdtype)
     key = jax.random.PRNGKey(seed)
     x = jnp.asarray(g.xyrra_list, rdtype)
     total_rounds = 0
@@ -285,7 +290,9 @@ def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
 
 @functools.lru_cache(maxsize=64)
 def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
-                hermitian_eps, nE, has_sim, max_steps):
+                hermitian_eps, nE, max_steps):
+    # `sim` always an array input, how_similar=inf when unconstrained --
+    # one program per (nE, config); see _cd_program's note.
     fom1 = functools.partial(
         _fom_eval, N=N, Dx=Dx, Dy=Dy, n_slabs=n_slabs,
         taylor_terms=taylor_terms, inphase=inphase, small_u=False,
@@ -293,14 +300,13 @@ def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
 
     def run(xyrra, sim, how_similar, min_r, min_gap, key, attempts,
             step_ceiling, mx, my, i0, tgt, Lx, Ly, h, *arrays):
-        sim_or_none = sim if has_sim else None
 
         def fom_of(x):
             return fom1(x, mx, my, i0, tgt, Lx, Ly, h, *arrays)
 
         def feas_of(x):
             return feasible_traced(x, Lx, Ly, min_r, min_gap,
-                                   sim=sim_or_none, how_similar=how_similar,
+                                   sim=sim, how_similar=how_similar,
                                    margin=1e-5)
 
         fom0 = fom_of(xyrra)
@@ -353,13 +359,13 @@ def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,
     has_sim = similar_to is not None
     nE = g.xyrra_list.shape[0]
     prog = _rp_program(len(orders), Dx, Dy, n_slabs, taylor, inph, True,
-                       hermitian, nE, has_sim, 10)
+                       hermitian, nE, 10)
     step_ceiling = np.empty_like(g.xyrra_list)
     step_ceiling[:, 0:4] = 1 * nm
     step_ceiling[:, 4] = 0.1 * degree
     step_ceiling /= g.xyrra_list.size
     sim = jnp.asarray(similar_to if has_sim else g.xyrra_list, rdtype)
-    hs = jnp.asarray(how_similar if has_sim else 0.0, rdtype)
+    hs = jnp.asarray(how_similar if has_sim else np.inf, rdtype)
     x, fom_now, tried = prog(
         jnp.asarray(g.xyrra_list, rdtype), sim, hs,
         jnp.asarray(min_diameter / 2, rdtype),

@@ -111,9 +111,28 @@ def test_optimize2_fused_improves():
 
 
 def test_package_level_lazy_export():
-    # optimize2_fused has no submodule-name collision: the lazy hook must
-    # return the callable regardless of import order.  (optimize_fused
-    # shares the `optimize` contract: the function wins on lazy access,
-    # an explicit submodule import shadows it with the module.)
+    # the lazy hook pins the FUNCTIONS over the submodule attribute, so
+    # `from metalens_tpu import optimize_fused` binds the callable even
+    # though the name collides with the submodule (the hook's import
+    # installs the module attr; without the pin, a from-import's second
+    # lookup would see the module)
     import metalens_tpu
     assert metalens_tpu.optimize2_fused is optimize2_fused
+    assert callable(metalens_tpu.optimize_fused)
+    assert metalens_tpu.optimize_fused is optimize_fused
+
+
+def test_seed_and_continuation_share_one_program():
+    # a trust-region (similar_to) member must reuse the unconstrained seed
+    # member's compiled program: sim is an array input with how_similar=inf
+    # when unconstrained, not a separate signature (cold NS2 design runs
+    # pay one remote compile per (nE, config), not two)
+    from metalens_tpu.optimize_fused import _rp_program
+    _rp_program.cache_clear()
+    g = two_pillar_grating()
+    kw = dict(target_wavelength=LAM, numG=20, terms=TERMS, verbose=False)
+    g1 = optimize2_fused(g, attempts=3, seed=1, **kw)
+    optimize2_fused(g1, attempts=3, seed=2, similar_to=g1.xyrra_list,
+                    how_similar=0.05, **kw)
+    info = _rp_program.cache_info()
+    assert info.misses == 1 and info.hits == 1
