@@ -24,6 +24,7 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import numpy as np
 import jax.numpy as jnp
@@ -135,6 +136,7 @@ def _hex_site_table(lens_center_summary, pitch):
     return jnp.asarray(table), n1_min, n2_min
 
 
+@jax.jit
 def _nearest_center_site(x, y, table, n1_min, n2_min, pitch, site_xy):
     """Index of the nearest stored hex site for each (x, y), via analytic
     lattice rounding with a 4x4 candidate neighborhood (replaces cKDTree).
@@ -163,6 +165,129 @@ def _nearest_center_site(x, y, table, n1_min, n2_min, pitch, site_xy):
             best_d2 = jnp.where(take, d2, best_d2)
             best_idx = jnp.where(take, safe_row, best_idx)
     return best_idx, jnp.isfinite(best_d2)
+
+
+@partial(jax.jit, static_argnames=("have_periphery", "plane_wave"))
+def _geometry_planes(X, Y, ring_boundaries, gc_index_tab, period_tab,
+                     napc_tab, rcen_tab, lens_max_r,
+                     source_x, source_y, source_z, kvac,
+                     pol_vector, H_coef, dipole_moment,
+                     have_periphery, plane_wave):
+    """Every point-classification / source-field plane of the stitch in ONE
+    device program.
+
+    The eager formulation held ~45 unfused intermediate planes live on the
+    device at once (measured ~1.5 KB/point peak, `HBM_CEILING.json`); fusing
+    the whole geometry stage lets XLA free the intermediates and return only
+    the ~20 planes the order-accumulation scan actually consumes.  Shapes and
+    the two structural branches (periphery tables present, plane-wave source)
+    are static; every numeric input is traced, so one compiled program per
+    (aperture shape, lens topology) serves all wavelengths and source
+    positions of that signature.
+
+    Returns (which_gc, in_center, uxp, uyp, xp, yp, grating_period,
+    lateral_period, cosr, sinr, ux, uy, eikr_periph, H_xp_weight,
+    H_yp_weight, dipole_field_Hx, dipole_field_Hy, local_power_z).
+    ``eikr_periph`` is the periphery air-propagation phase (cpx pair; exact
+    ones when it does not apply).  ``H_*p_weight`` are the periphery-frame
+    simulation weights; the center block's lab-frame weights are
+    ``dipole_field_Hy`` / ``dipole_field_Hx`` (reference nearfield.py:237-247).
+    """
+    lens_r = jnp.sqrt(X ** 2 + Y ** 2)
+    lens_phi = jnp.arctan2(Y, X)
+
+    if have_periphery:
+        # ring classification (reference nearfield.py:125-128)
+        n_rings = period_tab.shape[0]
+        which_ring = jnp.searchsorted(ring_boundaries, lens_r) - 1
+        in_center = which_ring == -1
+        which_ring = jnp.where(which_ring == n_rings, -1, which_ring)
+        safe_ring = jnp.maximum(which_ring, 0)
+        which_gc = jnp.where(which_ring == -1, -1, gc_index_tab[safe_ring])
+        grating_period = period_tab[safe_ring]
+        angle_per_grating = 2 * pi / napc_tab[safe_ring]
+        r_center = rcen_tab[safe_ring]
+        lateral_period = r_center * angle_per_grating
+        grating_rotation = (jnp.round(lens_phi / angle_per_grating)
+                            * angle_per_grating)
+    else:
+        in_center = lens_r < lens_max_r
+        which_gc = jnp.full(lens_r.shape, -1, dtype=jnp.int32)
+        grating_period = jnp.ones_like(lens_r)
+        lateral_period = jnp.ones_like(lens_r)
+        r_center = jnp.zeros_like(lens_r)
+        grating_rotation = jnp.zeros_like(lens_r)
+
+    gratingcenter_x = r_center * jnp.cos(grating_rotation)
+    gratingcenter_y = r_center * jnp.sin(grating_rotation)
+    if plane_wave:
+        ux = jnp.zeros_like(X)
+        uy = jnp.zeros_like(X)
+        uz = jnp.ones_like(X)
+    else:
+        dx = X - source_x
+        dy = Y - source_y
+        dz = 0.0 - source_z
+        distance = jnp.sqrt(dx ** 2 + dy ** 2 + dz ** 2)
+        ux = dx / distance
+        uy = dy / distance
+        uz = dz / distance
+
+    cosr, sinr = jnp.cos(grating_rotation), jnp.sin(grating_rotation)
+    uxp = ux * cosr + uy * sinr
+    uyp = -ux * sinr + uy * cosr
+    xp = X * cosr + Y * sinr - r_center
+    yp = -X * sinr + Y * cosr
+
+    # source fields at the aperture (everything except the e^{ikr} phase,
+    # reference nearfield.py:207-228); Lambertian uz^0.5 scaling
+    if not plane_wave:
+        s = H_coef * uz ** 0.5 / distance
+        dipole_field_Hx = (uy * pol_vector[2] - uz * pol_vector[1]) * s
+        dipole_field_Hy = (uz * pol_vector[0] - ux * pol_vector[2]) * s
+        dipole_field_Hz = (ux * pol_vector[1] - uy * pol_vector[0]) * s
+        dipole_field_Ex = (dipole_field_Hy * uz - dipole_field_Hz * uy) * nu.Z0
+        dipole_field_Ey = (dipole_field_Hz * ux - dipole_field_Hx * uz) * nu.Z0
+    else:
+        one = jnp.ones_like(X)
+        dipole_field_Ex = pol_vector[0] * dipole_moment * one
+        dipole_field_Ey = pol_vector[1] * dipole_moment * one
+        dipole_field_Hx = -pol_vector[1] * dipole_moment / nu.Z0 * one
+        dipole_field_Hy = pol_vector[0] * dipole_moment / nu.Z0 * one
+
+    dipole_field_Hxp = dipole_field_Hx * cosr + dipole_field_Hy * sinr
+    dipole_field_Hyp = -dipole_field_Hx * sinr + dipole_field_Hy * cosr
+    # weights of the unit-amplitude 'x'/'y' simulations reproducing the
+    # incident H (reference nearfield.py:237-247)
+    H_xp_weight = dipole_field_Hyp
+    H_yp_weight = dipole_field_Hxp
+
+    # air propagation phase to the grating center (reference
+    # nearfield.py:333-347)
+    if not plane_wave and have_periphery:
+        air_dist = jnp.sqrt((gratingcenter_x - source_x) ** 2
+                            + (gratingcenter_y - source_y) ** 2
+                            + source_z ** 2)
+        eikr_periph = cpx.expi(kvac * air_dist)
+    else:
+        eikr_periph = C(jnp.ones_like(X), jnp.zeros_like(X))
+
+    local_power_z = (dipole_field_Ex * dipole_field_Hy
+                     - dipole_field_Ey * dipole_field_Hx)
+
+    return (which_gc, in_center, uxp, uyp, xp, yp, grating_period,
+            lateral_period, cosr, sinr, ux, uy, eikr_periph,
+            H_xp_weight, H_yp_weight, dipole_field_Hx, dipole_field_Hy,
+            local_power_z)
+
+
+@jax.jit
+def _rotate_to_lab(Exp, Eyp, Hxp, Hyp, eikr, cosr, sinr):
+    """Apply the periphery air phase and rotate the accumulated
+    periphery-frame fields back to the lab frame in one program."""
+    Exp, Eyp, Hxp, Hyp = Exp * eikr, Eyp * eikr, Hxp * eikr, Hyp * eikr
+    return (Exp * cosr - Eyp * sinr, Exp * sinr + Eyp * cosr,
+            Hxp * cosr - Hyp * sinr, Hxp * sinr + Hyp * cosr)
 
 
 def _lens_max_radius(lens_periphery_summary, lens_center_summary, hexgridset):
@@ -249,78 +374,32 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     if sharding is not None:
         X = jax.device_put(X, sharding)
         Y = jax.device_put(Y, sharding)
-    lens_r = jnp.sqrt(X ** 2 + Y ** 2)
-    lens_phi = jnp.arctan2(Y, X)
 
-    # ring classification (reference nearfield.py:125-128)
-    if have_periphery:
-        ring_boundaries = jnp.asarray(np.hstack((r_min_list, lens_max_r)))
-        which_ring = jnp.searchsorted(ring_boundaries, lens_r) - 1
-        in_center = which_ring == -1
-        which_ring = jnp.where(which_ring == len(r_min_list), -1, which_ring)
-        safe_ring = jnp.maximum(which_ring, 0)
-        which_gc = jnp.where(which_ring == -1, -1,
-                             jnp.asarray(gc_index_here)[safe_ring])
-        grating_period = jnp.asarray(grating_period_list)[safe_ring]
-        angle_per_grating = 2 * pi / jnp.asarray(num_around_circle_list)[safe_ring]
-        r_center = jnp.asarray(r_center_list)[safe_ring]
-        lateral_period = r_center * angle_per_grating
-        grating_rotation = jnp.round(lens_phi / angle_per_grating) * angle_per_grating
-    else:
-        in_center = lens_r < lens_max_r
-        which_gc = jnp.where(in_center, -1, -1)
-        grating_period = jnp.ones_like(lens_r)
-        lateral_period = jnp.ones_like(lens_r)
-        r_center = jnp.zeros_like(lens_r)
-        grating_rotation = jnp.zeros_like(lens_r)
-
-    gratingcenter_x = r_center * jnp.cos(grating_rotation)
-    gratingcenter_y = r_center * jnp.sin(grating_rotation)
-    dz = 0.0 - source_z
-    if source_z == -inf:
-        ux = jnp.zeros_like(X)
-        uy = jnp.zeros_like(X)
-        uz = jnp.ones_like(X)
-        distance = None
-    else:
-        dx = X - source_x
-        dy = Y - source_y
-        distance = jnp.sqrt(dx ** 2 + dy ** 2 + dz ** 2)
-        ux = dx / distance
-        uy = dy / distance
-        uz = dz / distance
-
-    cosr, sinr = jnp.cos(grating_rotation), jnp.sin(grating_rotation)
-    uxp = ux * cosr + uy * sinr
-    uyp = -ux * sinr + uy * cosr
-    xp = X * cosr + Y * sinr - r_center
-    yp = -X * sinr + Y * cosr
-
-    # source fields at the aperture (everything except the e^{ikr} phase,
-    # reference nearfield.py:207-228); Lambertian uz^0.5 scaling
+    plane_wave = source_z == -inf
+    if plane_wave:
+        assert source_pol != "z"
     pol_vector = {"x": [1, 0, 0], "y": [0, 1, 0], "z": [0, 0, 1]}[source_pol]
     H_coef = nu.c0 * (2 * pi / wavelength) ** 2 * dipole_moment / (4 * pi)
-    if source_z > -inf:
-        s = H_coef * uz ** 0.5 / distance
-        dipole_field_Hx = (uy * pol_vector[2] - uz * pol_vector[1]) * s
-        dipole_field_Hy = (uz * pol_vector[0] - ux * pol_vector[2]) * s
-        dipole_field_Hz = (ux * pol_vector[1] - uy * pol_vector[0]) * s
-        dipole_field_Ex = (dipole_field_Hy * uz - dipole_field_Hz * uy) * nu.Z0
-        dipole_field_Ey = (dipole_field_Hz * ux - dipole_field_Hx * uz) * nu.Z0
+    if have_periphery:
+        ring_boundaries = np.hstack((r_min_list, lens_max_r))
+        gc_index_tab = np.asarray(gc_index_here, dtype=np.int32)
+        period_tab = np.asarray(grating_period_list, dtype=float)
+        napc_tab = np.asarray(num_around_circle_list, dtype=float)
+        rcen_tab = np.asarray(r_center_list, dtype=float)
     else:
-        assert source_pol != "z"
-        one = jnp.ones_like(X)
-        dipole_field_Ex = pol_vector[0] * dipole_moment * one
-        dipole_field_Ey = pol_vector[1] * dipole_moment * one
-        dipole_field_Hx = -pol_vector[1] * dipole_moment / nu.Z0 * one
-        dipole_field_Hy = pol_vector[0] * dipole_moment / nu.Z0 * one
-
-    dipole_field_Hxp = dipole_field_Hx * cosr + dipole_field_Hy * sinr
-    dipole_field_Hyp = -dipole_field_Hx * sinr + dipole_field_Hy * cosr
-    # weights of the unit-amplitude 'x'/'y' simulations reproducing the
-    # incident H (reference nearfield.py:237-247)
-    H_xp_weight = dipole_field_Hyp
-    H_yp_weight = dipole_field_Hxp
+        ring_boundaries = np.zeros((1,))
+        gc_index_tab = np.zeros((0,), dtype=np.int32)
+        period_tab = np.ones((1,))
+        napc_tab = np.ones((1,))
+        rcen_tab = np.zeros((1,))
+    (which_gc, in_center, uxp, uyp, xp, yp, grating_period, lateral_period,
+     cosr, sinr, ux, uy, eikr_periph, H_xp_weight, H_yp_weight,
+     dipole_field_Hx, dipole_field_Hy, local_power_z) = _geometry_planes(
+        X, Y, ring_boundaries, gc_index_tab, period_tab, napc_tab, rcen_tab,
+        lens_max_r, source_x, source_y,
+        0.0 if plane_wave else source_z, kvac,
+        np.asarray(pol_vector, dtype=float), H_coef, dipole_moment,
+        have_periphery=have_periphery, plane_wave=plane_wave)
 
     Exp = cpx.zeros(X.shape, X.dtype)
     Eyp = cpx.zeros(X.shape, X.dtype)
@@ -366,19 +445,10 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
                 print(f"diffraction order ({ox},{oy}) of gc {gc_index}; "
                       f"applies at {int(cnt)} points", flush=True)
 
-    # air propagation phase to the grating center (reference
-    # nearfield.py:333-347), then rotate back to lab frame
-    if source_z > -inf and have_periphery:
-        air_dist = jnp.sqrt((gratingcenter_x - source_x) ** 2
-                            + (gratingcenter_y - source_y) ** 2
-                            + source_z ** 2)
-        eikr = cpx.expi(kvac * air_dist)
-        Exp, Eyp, Hxp, Hyp = Exp * eikr, Eyp * eikr, Hxp * eikr, Hyp * eikr
-
-    Ex = Exp * cosr - Eyp * sinr
-    Ey = Exp * sinr + Eyp * cosr
-    Hx = Hxp * cosr - Hyp * sinr
-    Hy = Hxp * sinr + Hyp * cosr
+    # periphery air phase (from the geometry program) + rotation back to the
+    # lab frame (reference nearfield.py:333-347), one fused program
+    Ex, Ey, Hx, Hy = _rotate_to_lab(Exp, Eyp, Hxp, Hyp, eikr_periph,
+                                    cosr, sinr)
 
     # ---- center accumulation ----
     # skip the whole block (site lookup + scan-over-orders dispatch) when
@@ -475,8 +545,6 @@ def build_nearfield(source_x, source_y, source_z, source_pol, wavelength,
     else:
         in_lens = which_gc != -1
 
-    local_power_z = (dipole_field_Ex * dipole_field_Hy
-                     - dipole_field_Ey * dipole_field_Hx)
     power_passing_through_lens = float(
         jnp.where(in_lens, local_power_z, 0.0).sum()
         * (x_pts[1] - x_pts[0]) * (y_pts[1] - y_pts[0]))

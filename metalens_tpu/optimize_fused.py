@@ -172,6 +172,32 @@ def _ratchet_scan(f1, wfoms, wfeas):
 # fused coordinate descent
 # --------------------------------------------------------------------------
 
+# Every FOM evaluation site inside the fused programs is padded to ONE
+# fixed vmap batch.  The RCWA FOM dispatches Pallas kernels through a
+# custom-vmap rule whose kernel GRID is a function of the batch size, and
+# a new (kernel, grid) signature costs ~2-4 min of remote Mosaic compile
+# on the tunnel dev setup -- the measured 1670s cold compile of a fused
+# program vs ~40s for the host batch-50 FOM program (CPU XLA-only ratio is
+# just 2.6x) was three batch sizes (screen nD, walk 9, fom0 1) times the
+# kernel set.  Padding screen/walk/fom0 to the same batch collapses that
+# to ONE kernel signature set, shared by BOTH fused programs and every
+# bracket of a design run (nD = 10*nE varies; the batch does not).  The
+# padding rows recompute the current geometry's FOM and are discarded --
+# at ~14 ms per batched solve the waste is noise next to one saved
+# compile.
+FUSED_PROBE_BATCH = 50
+
+
+def _fom_batch(fom_of, rows, x, batch):
+    """vmap ``fom_of`` over ``rows`` padded to ``batch`` with copies of
+    ``x``; returns the first ``len(rows)`` results."""
+    n = rows.shape[0]
+    if n < batch:
+        pad = jnp.broadcast_to(x, (batch - n,) + x.shape)
+        rows = jnp.concatenate([rows, pad], axis=0)
+    return jax.vmap(fom_of)(rows)[:n]
+
+
 @functools.lru_cache(maxsize=64)
 def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
                 hermitian_eps, nE, max_rounds, max_steps):
@@ -187,6 +213,7 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
         fff=fff, hermitian_eps=hermitian_eps)
     nD = nE * 5 * 2
     nC = nE * 5
+    B = max(FUSED_PROBE_BATCH, nD)
 
     def run(xyrra, sim, how_similar, min_r, min_gap, key,
             mx, my, i0, tgt, Lx, Ly, h, *arrays):
@@ -200,7 +227,7 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
                                    sim=sim, how_similar=how_similar,
                                    margin=1e-5)
 
-        fom0 = fom_of(xyrra)
+        fom0 = _fom_batch(fom_of, xyrra[None], xyrra, B)[0]
 
         def cond(state):
             _, _, _, stalled, rounds = state
@@ -213,7 +240,7 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
             visit = (perm[:, None] * 2 + jnp.arange(2)).reshape(-1)
 
             cands = x[None] + dirs                       # (nD, nE, 5)
-            foms = jax.vmap(fom_of)(cands)               # (nD,)
+            foms = _fom_batch(fom_of, cands, x, B)       # (nD,)
             feas = jax.vmap(feas_of)(cands)              # (nD,)
             ok = feas & (foms >= fom_now)
             ok_v = ok[visit]
@@ -224,7 +251,7 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
 
             ks = jnp.arange(2, max_steps + 1, dtype=x.dtype)
             walk = x[None] + ks[:, None, None] * direction
-            wfoms = jax.vmap(fom_of)(walk)
+            wfoms = _fom_batch(fom_of, walk, x, B)
             wfeas = jax.vmap(feas_of)(walk)
             fom_w, kept = _ratchet_scan(f1, wfoms, wfeas)
 
@@ -300,6 +327,7 @@ def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
 
     def run(xyrra, sim, how_similar, min_r, min_gap, key, attempts,
             step_ceiling, mx, my, i0, tgt, Lx, Ly, h, *arrays):
+        B = max(FUSED_PROBE_BATCH, max_steps)
 
         def fom_of(x):
             return fom1(x, mx, my, i0, tgt, Lx, Ly, h, *arrays)
@@ -309,7 +337,7 @@ def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
                                    sim=sim, how_similar=how_similar,
                                    margin=1e-5)
 
-        fom0 = fom_of(xyrra)
+        fom0 = _fom_batch(fom_of, xyrra[None], xyrra, B)[0]
 
         def cond(state):
             _, _, _, tried = state
@@ -320,15 +348,17 @@ def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
             key, k1 = jax.random.split(key)
             draw = jax.random.uniform(k1, x.shape, x.dtype, -1.0, 1.0)
             direction = step_ceiling * draw
-            c1 = x + direction
-            f1 = fom_of(c1)
-            ok1 = feas_of(c1) & (f1 >= fom_now)
-
-            ks = jnp.arange(2, max_steps + 1, dtype=x.dtype)
+            # step 1 (the proposal) and the ratchet walk's steps 2..max in
+            # ONE padded batch: same values as the separate f1 evaluation,
+            # one fewer FOM instantiation / kernel signature
+            ks = jnp.arange(1, max_steps + 1, dtype=x.dtype)
             walk = x[None] + ks[:, None, None] * direction
-            wfoms = jax.vmap(fom_of)(walk)
-            wfeas = jax.vmap(feas_of)(walk)
-            fom_w, kept = _ratchet_scan(f1, wfoms, wfeas)
+            afoms = _fom_batch(fom_of, walk, x, B)
+            f1 = afoms[0]
+            ok1 = feas_of(walk[0]) & (f1 >= fom_now)
+
+            wfeas = jax.vmap(feas_of)(walk[1:])
+            fom_w, kept = _ratchet_scan(f1, afoms[1:], wfeas)
 
             x = jnp.where(ok1, x + kept.astype(x.dtype) * direction, x)
             fom_now = jnp.where(ok1, fom_w, fom_now)
