@@ -198,9 +198,11 @@ def _fom_batch(fom_of, rows, x, batch):
     return jax.vmap(fom_of)(rows)[:n]
 
 
-@functools.lru_cache(maxsize=64)
-def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
-                hermitian_eps, nE, max_rounds, max_steps):
+def _cd_run(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
+            hermitian_eps, nE, max_rounds, max_steps):
+    """The coordinate-descent dispatch body as a pure traceable function
+    (jitted by :func:`_cd_program`; composed un-jitted into the sharded
+    members-over-mesh program in :mod:`metalens_tpu.parallel.design`)."""
     # NOTE: `sim` is ALWAYS an array input (the unconstrained case passes
     # the start geometry with how_similar=inf, which the trust-region
     # comparisons vacuously satisfy) so seed members and trust-region
@@ -264,7 +266,14 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
         x, fom_now, key, stalled, rounds = lax.while_loop(cond, body, state)
         return x, fom_now, stalled, rounds, key
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
+                hermitian_eps, nE, max_rounds, max_steps):
+    return jax.jit(_cd_run(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
+                           hermitian_eps, nE, max_rounds, max_steps))
 
 
 def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
@@ -315,9 +324,10 @@ def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
 # fused random perturbation
 # --------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=64)
-def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
-                hermitian_eps, nE, max_steps):
+def _rp_run(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
+            hermitian_eps, nE, max_steps):
+    """Random-perturbation loop body as a pure traceable function (see
+    :func:`_cd_run`)."""
     # `sim` always an array input, how_similar=inf when unconstrained --
     # one program per (nE, config); see _cd_program's note.
     fom1 = functools.partial(
@@ -368,7 +378,14 @@ def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
         x, fom_now, key, tried = lax.while_loop(cond, body, state)
         return x, fom_now, tried
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
+                hermitian_eps, nE, max_steps):
+    return jax.jit(_rp_run(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
+                           hermitian_eps, nE, max_steps))
 
 
 def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,

@@ -22,12 +22,14 @@ from .mesh import make_mesh, default_mesh
 from .sweep import sharded_fom_and_grad, sharded_characterize_amps
 from .fft import fft2_sharded, farfield_sharded
 from .nearfield import build_nearfield_sharded
+from .design import sharded_member_optimize
 from .distributed import (init_distributed, global_mesh,
                           global_batch_from_host_shards, replicate_to_mesh,
                           host_slice, multihost_barrier)
 
 __all__ = ["make_mesh", "default_mesh", "sharded_fom_and_grad",
            "sharded_characterize_amps", "fft2_sharded", "farfield_sharded",
-           "build_nearfield_sharded", "init_distributed", "global_mesh",
+           "build_nearfield_sharded", "sharded_member_optimize",
+           "init_distributed", "global_mesh",
            "global_batch_from_host_shards", "replicate_to_mesh",
            "host_slice", "multihost_barrier"]

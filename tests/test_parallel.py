@@ -172,3 +172,49 @@ def test_sharded_nearfield_matches_single_device():
     np.testing.assert_allclose(out[0], cpx.to_np(ref[0]), atol=1e-12)
     np.testing.assert_allclose(out[3], cpx.to_np(ref[3]), atol=1e-12)
     assert abs(out[6] - ref[6]) <= 1e-9 * max(abs(ref[6]), 1e-300)
+
+
+def test_sharded_member_optimize_matches_single_device():
+    """The sharded fused-design path (members over the mesh) must produce
+    the SAME optimization trajectory as the same member run on a 1-device
+    mesh: sharding distributes work, never changes the math."""
+    import math
+    from metalens_tpu import Grating, validate
+    from metalens_tpu.parallel import sharded_member_optimize
+    from metalens_tpu.units import degree
+
+    def seed_member():
+        period = 580.0 / math.sin(50.0 * degree)
+        rows = np.array([[-period / 4, 0.0, 70.0, 80.0, 0.0],
+                         [period / 4, 0.0, 100.0, 95.0, 0.0]])
+        g = Grating(lateral_period=320 * nm, cyl_height=550 * nm,
+                    target_wavelength=580 * nm, angle_in_air=50.0 * degree,
+                    xyrra_list_in_nm_deg=rows)
+        assert validate(g)
+        return g
+
+    kw = dict(target_wavelength=580 * nm, numG=9, attempts=2,
+              max_rounds_per_dispatch=2, max_dispatches=1, verbose=False)
+    members = [seed_member() for _ in range(3)]
+    mesh8 = make_mesh()
+    out8, foms8 = sharded_member_optimize(mesh8, members,
+                                          seeds=[5, 6, 7], **kw)
+    assert len(out8) == 3
+    for g, f in zip(out8, foms8):
+        assert validate(g)
+        assert np.isfinite(f)
+    # distinct seeds explore distinct draws
+    assert not np.allclose(out8[0].xyrra_list, out8[1].xyrra_list)
+
+    mesh1 = make_mesh(devices=jax.devices()[:1])
+    out1, foms1 = sharded_member_optimize(mesh1, [seed_member()],
+                                          seeds=[5], **kw)
+    np.testing.assert_allclose(foms1[0], foms8[0], rtol=1e-12)
+    np.testing.assert_allclose(out1[0].xyrra_list, out8[0].xyrra_list,
+                               rtol=0, atol=1e-12)
+
+    # determinism: same seeds, same mesh -> identical results
+    out8b, foms8b = sharded_member_optimize(mesh8,
+                                            [seed_member() for _ in range(3)],
+                                            seeds=[5, 6, 7], **kw)
+    np.testing.assert_allclose(foms8b, foms8, rtol=0, atol=0)
