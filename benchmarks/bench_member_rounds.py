@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Diagnose the fused-vs-host per-member wall gap on a REAL NS2
+continuation step.
+
+The round-5 cold fused NS2 design measured 12018 s against the host
+loop's 4408 s, and the compile-cache timeline attributes only ~half to
+the known compile-signature tax: bracket 2's warm tail alone ran
+~230 s/member where the round-4 host loop did ~35 s/member, despite
+DESIGN_MEMBER_FUSED.json's warm member measuring 8.5 s (vs host 297 s)
+on the bracket-0 seed workload.  Hypotheses: (a) the on-device ratchet
+runs far more ROUNDS on the trust-region continuation landscape
+(plateau wander under >= tie-acceptance), or (b) per-round device cost
+is much higher than estimated.  This script measures both sides on one
+faithful continuation step:
+
+  * start = resize(gc2's boundary member, one 1.05 period step), the
+    exact construction vary_angle performs (optimize.py vary_angle);
+  * fused: optimize_fused + optimize2_fused(attempts=15), trust region
+    0.15, verbose (prints round counts);
+  * host:  optimize + optimize2(attempts=15), with _BatchedProbe.__call__
+    instrumented to count dispatches.
+
+    python benchmarks/bench_member_rounds.py [--cpu] [--bracket 2]
+    -> prints one JSON line; judge artifact MEMBER_ROUNDS.json
+
+Reference role: optimizer semantics, /root/reference/grating.py:685-795.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bracket", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--skip-host", action="store_true")
+    ap.add_argument("--skip-fused", action="store_true")
+    ap.add_argument("--out", default=os.path.join(HERE,
+                                                  "MEMBER_ROUNDS.json"))
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from metalens_tpu.engine import enable_compilation_cache
+    enable_compilation_cache()
+    sys.path.insert(0, HERE)
+    from northstar2 import _rgb_terms, DESIGN_NUMG
+    from metalens_tpu.serialization import load
+    from metalens_tpu import optimize as opt_mod
+    from metalens_tpu.optimize import optimize, optimize2
+    from metalens_tpu.grating import resize
+    from metalens_tpu.optimize_fused import optimize_fused, optimize2_fused
+    from metalens_tpu.units import nm, degree
+
+    terms = _rgb_terms()
+    lam = 580 * nm
+    gc = load(os.path.join(HERE, "ns2_artifacts",
+                           f"gc{args.bracket}.npz"))
+    prev = gc.grating_list[0]
+    raw = gc.get_one(lateral_period=prev.lateral_period * 1.05)
+    start = resize(prev, raw)
+    angle = start.get_angle_in_air(target_wavelength=lam) / degree
+    sim = start.xyrra_list.copy()
+
+    def fom_of(g):
+        return float(np.real(g.fom(target_wavelength=lam,
+                                   numG=DESIGN_NUMG, terms=terms)))
+
+    rec = {"bracket": args.bracket, "angle_deg": round(angle, 3),
+           "pillars": int(start.xyrra_list.shape[0]),
+           "numG": DESIGN_NUMG, "how_similar": 0.15,
+           "fom_start": round(fom_of(start), 4)}
+
+    if not args.skip_fused:
+        t0 = time.perf_counter()
+        g1 = optimize_fused(start, target_wavelength=lam,
+                            similar_to=sim, how_similar=0.15,
+                            numG=DESIGN_NUMG, terms=terms,
+                            verbose=True, seed=args.seed)
+        t1 = time.perf_counter()
+        g2 = optimize2_fused(g1, target_wavelength=lam, attempts=15,
+                             similar_to=sim, how_similar=0.15,
+                             numG=DESIGN_NUMG, terms=terms,
+                             verbose=True, seed=args.seed + 1)
+        t2 = time.perf_counter()
+        rec["fused"] = {"opt_wall_s": round(t1 - t0, 1),
+                        "opt2_wall_s": round(t2 - t1, 1),
+                        "fom": round(fom_of(g2), 4)}
+        print(json.dumps(rec), flush=True)
+
+    if not args.skip_host:
+        calls = {"n": 0, "probes": 0}
+        orig = opt_mod._BatchedProbe.__call__
+
+        def counted(self, xs):
+            calls["n"] += 1
+            calls["probes"] += len(xs)
+            return orig(self, xs)
+
+        opt_mod._BatchedProbe.__call__ = counted
+        rng = np.random.default_rng(args.seed)
+        t0 = time.perf_counter()
+        h1 = optimize(start, target_wavelength=lam, similar_to=sim,
+                      how_similar=0.15, numG=DESIGN_NUMG, terms=terms,
+                      verbose=False, rng=rng)
+        t1 = time.perf_counter()
+        n1 = dict(calls)
+        h2 = optimize2(h1, target_wavelength=lam, attempts=15,
+                       similar_to=sim, how_similar=0.15,
+                       numG=DESIGN_NUMG, terms=terms, verbose=False,
+                       rng=rng)
+        t2 = time.perf_counter()
+        opt_mod._BatchedProbe.__call__ = orig
+        rec["host"] = {"opt_wall_s": round(t1 - t0, 1),
+                       "opt_dispatches": n1["n"],
+                       "opt2_wall_s": round(t2 - t1, 1),
+                       "opt2_dispatches": calls["n"] - n1["n"],
+                       "fom": round(fom_of(h2), 4)}
+
+    print(json.dumps(rec), flush=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
