@@ -171,33 +171,45 @@ def stage_design(art):
         g0 = _seed_grating(lo - 0.3, npil)   # innermost member sits just
         # below the bracket's low edge so boundary rings interpolate
         # inside the member range
+        # overshoot the top edge by one continuation step so a member
+        # >= hi exists (vary_angle stops at the last candidate <= end)
+        end = math.atan(CHANGE_EACH_STEP * math.tan(hi * degree))
         if FUSED_DESIGN:
             from metalens_tpu.optimize_fused import (optimize_fused,
                                                      optimize2_fused)
+            from metalens_tpu.optimize import continuation_static_envelope
+            # ONE static envelope for the whole bracket: the seed and
+            # every continuation member share one compiled program pair
+            # (the round-5 cold run measured 16 compiled programs /
+            # ~6700s of drift-induced recompiles without this)
+            env = continuation_static_envelope(
+                g0, end, "round", 580 * nm, numG=DESIGN_NUMG,
+                terms=terms, change_each_step=CHANGE_EACH_STEP)
             g0 = optimize_fused(g0, target_wavelength=580 * nm,
                                 numG=DESIGN_NUMG, terms=terms,
                                 verbose=False,
-                                seed=int(rng.integers(2 ** 31)))
+                                seed=int(rng.integers(2 ** 31)),
+                                static_override=env)
             g0 = optimize2_fused(g0, target_wavelength=580 * nm,
                                  attempts=40, numG=DESIGN_NUMG,
                                  terms=terms, verbose=False,
-                                 seed=int(rng.integers(2 ** 31)))
+                                 seed=int(rng.integers(2 ** 31)),
+                                 static_override=env)
         else:
             g0 = optimize(g0, target_wavelength=580 * nm, numG=DESIGN_NUMG,
                           terms=terms, verbose=False, rng=rng)
             g0 = optimize2(g0, target_wavelength=580 * nm, attempts=40,
                            numG=DESIGN_NUMG, terms=terms, verbose=False,
                            rng=rng)
-        # overshoot the top edge by one continuation step so a member
-        # >= hi exists (vary_angle stops at the last candidate <= end)
-        end = math.atan(CHANGE_EACH_STEP * math.tan(hi * degree))
         gc = vary_angle(start_grating=g0, end_angle=end,
                         lens_type="round", target_wavelength=580 * nm,
                         numG=DESIGN_NUMG, terms=terms, use_gradient=False,
                         optimize2_attempts=15, verbose=False,
                         change_each_step=CHANGE_EACH_STEP,
                         similarity_each_step=SIMILARITY, rng=rng,
-                        use_fused=FUSED_DESIGN)
+                        use_fused=FUSED_DESIGN,
+                        fused_static_override=(env if FUSED_DESIGN
+                                               else None))
         save(gc, path)
         print(f"# bracket {bi}: {len(gc.grating_list)} members "
               f"({time.perf_counter() - tb:.0f}s)", flush=True)

@@ -230,6 +230,42 @@ def _traced_order_args(orders):
             jnp.asarray(ordmod.order_index(o, 0, 0), jnp.int32))
 
 
+def static_envelope(g, period_pairs, wavelengths, numG):
+    """Elementwise-max static solve config over explicit
+    ``(grating_period, lateral_period)`` pairs: the ``(Dx, Dy, n_slabs,
+    taylor_terms)`` tuple that COVERS every listed cell, for
+    :mod:`metalens_tpu.optimize_fused`'s ``static_override``.
+
+    Oversizing each component is strictly accuracy-safe: a larger
+    (Dx, Dy) dense difference grid is a superset the traced index map
+    gathers from; more slabs LOWER the per-slab ``t*q`` (the f32 slab-cap
+    cliff moves away, see ``rcwa.slab_cap``); and the max'd series length
+    was sized for the per-slab norm of the member that needed it most,
+    which bounds every other member's norm once its slab count is also
+    raised (``taylor_terms(y)`` is increasing in ``y`` and
+    ``y = (k0h*q/n_slabs)^2`` only shrinks under a larger ``n_slabs``).
+    The material/height configuration is read from ``g``; only the two
+    periods vary across a ``vary_angle`` continuation
+    (reference role: the per-member S4 re-setup, ``grating.lua:115``).
+    """
+    lam_min = min(wavelengths)
+    eps_max = 0.0
+    for lam in wavelengths:
+        ng, nt = resolve_indices(g.n_glass, g.n_tio2, lam)
+        eps_max = max(eps_max, abs(complex(nt)) ** 2,
+                      abs(complex(ng)) ** 2)
+    k0h = 2 * pi * g.cyl_height / lam_min
+    Dx = Dy = ns = tt = 0
+    for gp, lp in period_pairs:
+        orders = ordmod.select_orders(gp, lp, numG)
+        dx, dy = _order_bounds(orders)
+        n_slabs, taylor = rcwa.slab_schedule(k0h, orders, gp, lp,
+                                             lam_min, eps_max)
+        Dx, Dy = max(Dx, dx), max(Dy, dy)
+        ns, tt = max(ns, n_slabs), max(tt, taylor)
+    return Dx, Dy, ns, tt
+
+
 def _fom_inputs(g, target_wavelength, numG, terms, rdtype):
     terms = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
     orders, n_slabs, taylor, hermitian = static_solve_config(

@@ -395,12 +395,71 @@ def optimize_gradient(mygrating_start, target_wavelength, steps: int = 120,
 # continuation over deflection angle
 # --------------------------------------------------------------------------
 
+def _continuation_ladder(all_gratings, end_angle, change_each_step):
+    """The ``(grating_period, lateral_period)`` of every member a
+    :func:`vary_angle` continuation will visit, starting from the newest
+    member, WITHOUT optimizing anything -- the same ``get_one`` period
+    arithmetic the real loop steps through (periods are a deterministic
+    geometric ladder; only the xyrra content depends on the optimizer)."""
+    cyl = all_gratings.lens_type == "cyl"
+    prev = all_gratings.grating_list[-1 if cyl else 0]
+    pairs = [(prev.grating_period, prev.lateral_period)]
+    lam = all_gratings.target_wavelength
+    gp, lp = prev.grating_period, prev.lateral_period
+    while True:
+        if cyl:
+            g = all_gratings.get_one(grating_period=gp * change_each_step)
+        else:
+            g = all_gratings.get_one(lateral_period=lp * change_each_step)
+        a = g.get_angle_in_air(target_wavelength=lam)
+        if (cyl and a < end_angle) or (not cyl and a > end_angle):
+            break
+        pairs.append((g.grating_period, g.lateral_period))
+        gp, lp = g.grating_period, g.lateral_period
+    return pairs
+
+
+def continuation_static_envelope(start_grating, end_angle, lens_type,
+                                 target_wavelength, numG=50, terms=None,
+                                 change_each_step=1.01):
+    """The ``(Dx, Dy, n_slabs, taylor_terms)`` envelope covering EVERY
+    member of a :func:`vary_angle` continuation (including the start
+    grating itself), for the fused optimizers' ``static_override`` -- one
+    compiled program per pillar count for a whole design bracket instead
+    of a fresh remote compile each time the per-member period rescale
+    drifts the static solve config.  Compute it from the continuation's
+    seed BEFORE optimizing the seed, and pass the same tuple to the seed's
+    fused calls and to ``vary_angle(fused_static_override=...)``."""
+    from .engine import static_envelope, DEFAULT_FOM_TERMS
+    gc = _init_collection(start_grating, lens_type, target_wavelength)
+    pairs = _continuation_ladder(gc, end_angle, change_each_step)
+    tt = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
+    return static_envelope(start_grating, pairs,
+                           [t.wavelength for t in tt], numG)
+
+
+def _init_collection(start_grating, lens_type, target_wavelength):
+    if lens_type == "cyl":
+        return GratingCollection(
+            target_wavelength=target_wavelength,
+            lateral_period=start_grating.lateral_period,
+            grating_list=[start_grating], lens_type="cyl")
+    assert lens_type == "round"
+    angle_in_air = start_grating.get_angle_in_air(
+        target_wavelength=target_wavelength)
+    lateral_period = start_grating.lateral_period / math.tan(angle_in_air)
+    return GratingCollection(
+        target_wavelength=target_wavelength,
+        lateral_period=lateral_period,
+        grating_list=[start_grating], lens_type="round")
+
+
 def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                target_wavelength=None, start_grating_collection=None,
                subfolder=None, numG=50, terms=None, use_gradient=False,
                optimize2_attempts=200, gradient_steps=120, verbose=True,
                change_each_step=1.01, similarity_each_step=0.03, rng=None,
-               use_fused=False):
+               use_fused=False, fused_static_override=None):
     """Geometric continuation building a GratingCollection (reference
     ``grating.py:820-918``): step the period by 1% per iteration, re-seed
     from the previous solution via :func:`resize`, re-optimize under a 3%
@@ -455,22 +514,21 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
     if start_grating_collection is not None:
         all_gratings = start_grating_collection
     else:
-        if lens_type == "cyl":
-            all_gratings = GratingCollection(
-                target_wavelength=target_wavelength,
-                lateral_period=start_grating.lateral_period,
-                grating_list=[start_grating], lens_type="cyl")
-        else:
-            assert lens_type == "round"
-            angle_in_air = start_grating.get_angle_in_air(
-                target_wavelength=target_wavelength)
-            lateral_period = start_grating.lateral_period / math.tan(angle_in_air)
-            all_gratings = GratingCollection(
-                target_wavelength=target_wavelength,
-                lateral_period=lateral_period,
-                grating_list=[start_grating], lens_type="round")
+        all_gratings = _init_collection(start_grating, lens_type,
+                                        target_wavelength)
 
     assert change_each_step > 1 and similarity_each_step > 0
+
+    if use_fused and fused_static_override is None:
+        # one compiled program (pair) for the whole continuation: cover
+        # every ladder member's static solve config up front
+        from .engine import static_envelope, DEFAULT_FOM_TERMS
+        pairs = _continuation_ladder(all_gratings, end_angle,
+                                     change_each_step)
+        tt = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
+        fused_static_override = static_envelope(
+            all_gratings.grating_list[0], pairs,
+            [t.wavelength for t in tt], numG)
 
     while True:
         if verbose:
@@ -507,13 +565,15 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose, seed=seeds[0])
+                verbose=verbose, seed=seeds[0],
+                static_override=fused_static_override)
             grating_new = optimize2_fused(
                 grating_new, attempts=optimize2_attempts,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose, seed=seeds[1])
+                verbose=verbose, seed=seeds[1],
+                static_override=fused_static_override)
         elif use_gradient:
             grating_new = optimize_gradient(
                 grating_new_start,

@@ -188,6 +188,23 @@ def _ratchet_scan(f1, wfoms, wfeas):
 FUSED_PROBE_BATCH = 50
 
 
+def _apply_override(static_override, Dx, Dy, n_slabs, taylor):
+    """Validate and apply a ``(Dx, Dy, n_slabs, taylor_terms)`` envelope
+    (see :func:`metalens_tpu.engine.static_envelope`): every component
+    must cover the member's own requirement, because a too-small dense
+    grid would drop ellipse Fourier content and a too-short series would
+    truncate the slab exponential."""
+    if static_override is None:
+        return Dx, Dy, n_slabs, taylor
+    eDx, eDy, ens, ett = static_override
+    if not (eDx >= Dx and eDy >= Dy and ens >= n_slabs and ett >= taylor):
+        raise ValueError(
+            f"static_override {static_override} does not cover this "
+            f"member's config (Dx={Dx}, Dy={Dy}, n_slabs={n_slabs}, "
+            f"taylor_terms={taylor})")
+    return int(eDx), int(eDy), int(ens), int(ett)
+
+
 def _fom_batch(fom_of, rows, x, batch):
     """vmap ``fom_of`` over ``rows`` padded to ``batch`` with copies of
     ``x``; returns the first ``len(rows)`` results."""
@@ -278,11 +295,21 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
 
 def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
                    how_similar=None, numG=50, terms=None, seed=0,
-                   max_rounds_per_dispatch=64, verbose=True, rdtype=None):
+                   max_rounds_per_dispatch=64, verbose=True, rdtype=None,
+                   static_override=None):
     """Coordinate-descent ratchet with the WHOLE loop on device (see
     module docstring).  Same acceptance semantics as
     :func:`metalens_tpu.optimize.optimize`; the shuffle comes from
-    ``jax.random`` seeded by ``seed``.  Returns an optimized copy."""
+    ``jax.random`` seeded by ``seed``.  Returns an optimized copy.
+
+    ``static_override``: optional ``(Dx, Dy, n_slabs, taylor_terms)``
+    envelope (:func:`metalens_tpu.engine.static_envelope`) that must
+    cover this member's own config; a whole design continuation then
+    shares ONE compiled program per pillar count instead of paying a
+    fresh ~10-min remote compile each time the 5%-per-member period
+    rescale drifts the quantized bounds or slab schedule (the dominant
+    cost of the round-5 cold fused NS2 design: 16 compiled programs,
+    ~6700s of the 12018s wall)."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     g = mygrating_start.copy()
@@ -290,6 +317,8 @@ def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     Dx, Dy = _order_bounds(orders)
+    Dx, Dy, n_slabs, taylor = _apply_override(
+        static_override, Dx, Dy, n_slabs, taylor)
     omx, omy, i0 = _traced_order_args(orders)
     tgt_j = jnp.asarray(tgt, jnp.int32)
     has_sim = similar_to is not None
@@ -390,10 +419,12 @@ def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
 
 def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,
                     similar_to=None, how_similar=None, numG=50, terms=None,
-                    seed=0, verbose=True, rdtype=None):
+                    seed=0, verbose=True, rdtype=None,
+                    static_override=None):
     """Random simultaneous perturbation with the attempt loop on device
     (semantics of :func:`metalens_tpu.optimize.optimize2`; draws from
-    ``jax.random`` seeded by ``seed``)."""
+    ``jax.random`` seeded by ``seed``).  ``static_override``: see
+    :func:`optimize_fused`."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     g = mygrating_start.copy()
@@ -401,6 +432,8 @@ def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     Dx, Dy = _order_bounds(orders)
+    Dx, Dy, n_slabs, taylor = _apply_override(
+        static_override, Dx, Dy, n_slabs, taylor)
     omx, omy, i0 = _traced_order_args(orders)
     tgt_j = jnp.asarray(tgt, jnp.int32)
     has_sim = similar_to is not None

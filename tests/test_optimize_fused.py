@@ -136,3 +136,79 @@ def test_seed_and_continuation_share_one_program():
                     how_similar=0.05, **kw)
     info = _rp_program.cache_info()
     assert info.misses == 1 and info.hits == 1
+
+
+def test_static_envelope_covers_ladder_and_is_physics_exact():
+    """The continuation envelope must cover every ladder member's exact
+    static config, and an OVERSIZED program must compute the same physics
+    (superset dense grid; more slabs/terms only tighten the slab
+    exponential) -- the guarantees behind sharing one compiled program per
+    bracket (the round-5 cold NS2 design paid 16 drift-induced ~10-min
+    remote compiles without this)."""
+    import math
+    import jax.numpy as jnp
+    from metalens_tpu.engine import (_fom_inputs, _fom_program,
+                                     _order_bounds, _traced_order_args,
+                                     static_solve_config)
+    from metalens_tpu.optimize import (continuation_static_envelope,
+                                       _continuation_ladder,
+                                       _init_collection)
+
+    g = start_grating()
+    end = math.atan(1.5 * math.tan(33 * degree))
+    env = continuation_static_envelope(g, end, "round", LAM, numG=20,
+                                       terms=TERMS, change_each_step=1.05)
+    pairs = _continuation_ladder(_init_collection(g, "round", LAM),
+                                 end, 1.05)
+    assert len(pairs) >= 5
+    for gp, lp in pairs:
+        probe = Grating(lateral_period=lp, grating_period=gp,
+                        cyl_height=g.cyl_height,
+                        xyrra_list_in_nm_deg=g.xyrra_list_in_nm_deg)
+        orders, ns, tt, _ = static_solve_config(probe, [LAM], 20)
+        dx, dy = _order_bounds(orders)
+        assert env[0] >= dx and env[1] >= dy
+        assert env[2] >= ns and env[3] >= tt
+
+    rd = np.float64
+    orders, ns, tt, herm, tgt, inph, arrays = _fom_inputs(g, LAM, 20,
+                                                          TERMS, rd)
+    Dx, Dy = _order_bounds(orders)
+    omx, omy, i0 = _traced_order_args(orders)
+    args = (jnp.asarray(g.xyrra_list, rd), omx, omy, i0,
+            jnp.asarray(tgt, jnp.int32), g.grating_period,
+            g.lateral_period, g.cyl_height) + arrays
+    f_exact = float(_fom_program(len(orders), Dx, Dy, ns, tt, inph,
+                                 False, False, True, herm)(*args))
+    f_fat = float(_fom_program(len(orders), Dx + 16, Dy + 8, 2 * ns,
+                               tt + 8, inph, False, False, True,
+                               herm)(*args))
+    np.testing.assert_allclose(f_fat, f_exact, rtol=1e-9, atol=1e-12)
+
+
+def test_fused_continuation_shares_one_program_per_bracket():
+    """vary_angle(use_fused=True) auto-computes the static envelope: the
+    whole continuation (and a seed sharing the envelope) compiles exactly
+    ONE cd and ONE rp program."""
+    import math
+    from metalens_tpu.optimize import vary_angle
+    from metalens_tpu.optimize_fused import _cd_program, _rp_program
+    _cd_program.cache_clear()
+    _rp_program.cache_clear()
+    g = start_grating()
+    end = math.atan(1.2 * math.tan(33 * degree))
+    rng = np.random.default_rng(5)
+    gc = vary_angle(start_grating=g, end_angle=end, lens_type="round",
+                    target_wavelength=LAM, numG=20, terms=TERMS,
+                    use_fused=True, optimize2_attempts=3, verbose=False,
+                    change_each_step=1.05, similarity_each_step=0.15,
+                    rng=rng)
+    assert len(gc.grating_list) >= 3
+    assert _cd_program.cache_info().misses == 1
+    assert _rp_program.cache_info().misses == 1
+
+    # an envelope that does NOT cover the member is rejected loudly
+    from metalens_tpu.optimize_fused import optimize_fused
+    with pytest.raises(ValueError):
+        optimize_fused(g, target_wavelength=LAM, numG=20, terms=TERMS,
+                       verbose=False, static_override=(16, 4, 1, 4))
