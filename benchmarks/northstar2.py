@@ -64,10 +64,17 @@ BRACKETS = ((20.0, 27.0, 5), (27.0, 37.0, 4), (37.0, 48.0, 3),
             (48.0, 59.5, 2))
 CHANGE_EACH_STEP = 1.05    # ~21 members total (1% reference steps would be
 SIMILARITY = 0.15          # ~110; get_one interpolates between members)
-FUSED_DESIGN = True        # on-device optimizer loops (optimize_fused):
-#                            the round-4 host-loop measurement was ~90%
-#                            dispatch latency (bench_design_member.py);
-#                            --host-design restores the host loops
+FUSED_DESIGN = False       # MEASURED round 5: the cold from-scratch fused
+#                            design ran 12018s vs the host loop's 4407.6s
+#                            (NS2_LEDGER.json) -- the fused programs cost
+#                            ~10min of remote compile EACH and the drifting
+#                            static config compiled 16 of them; the
+#                            static-envelope fix collapses that to 8 but
+#                            the remaining compile tax still can't beat
+#                            the host loop from cold.  The fused loops win
+#                            WARM (8.5s vs 297s per member,
+#                            DESIGN_MEMBER_FUSED.json): --fused-design
+#                            selects them for warm-cache / resumed runs.
 
 
 def _ledger_update(stage, entry):
@@ -392,15 +399,24 @@ def main():
                          "overwrite the production ledger")
     ap.add_argument("--host-design", action="store_true",
                     help="design stage via the host optimizer loops "
-                         "instead of the fused on-device programs")
+                         "(the default since round 5; kept for "
+                         "compatibility)")
+    ap.add_argument("--fused-design", action="store_true",
+                    help="design stage via the fused on-device optimizer "
+                         "programs: wins warm (8.5s vs 297s per member) "
+                         "but pays ~10min remote compile per program "
+                         "pair, so cold from-scratch runs measured "
+                         "slower (12018s vs 4407.6s round 5)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="skip the persistent XLA compilation cache "
                          "(on by default: re-runs and resumed stages "
                          "reload executables instead of recompiling)")
     args = ap.parse_args()
+    global FUSED_DESIGN
     if args.host_design:
-        global FUSED_DESIGN
         FUSED_DESIGN = False
+    elif args.fused_design:
+        FUSED_DESIGN = True
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
