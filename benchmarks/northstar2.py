@@ -215,7 +215,7 @@ def stage_design(art):
                         change_each_step=CHANGE_EACH_STEP,
                         similarity_each_step=SIMILARITY, rng=rng,
                         use_fused=FUSED_DESIGN,
-                        fused_static_override=(env if FUSED_DESIGN
+                        static_override=(env if FUSED_DESIGN
                                                else None))
         save(gc, path)
         print(f"# bracket {bi}: {len(gc.grating_list)} members "

@@ -230,6 +230,23 @@ def _traced_order_args(orders):
             jnp.asarray(ordmod.order_index(o, 0, 0), jnp.int32))
 
 
+def apply_static_override(static_override, Dx, Dy, n_slabs, taylor):
+    """Validate and apply a ``(Dx, Dy, n_slabs, taylor_terms)`` envelope
+    (see :func:`static_envelope`): every component must cover the
+    member's own requirement, because a too-small dense grid would drop
+    ellipse Fourier content and a too-short series would truncate the
+    slab exponential."""
+    if static_override is None:
+        return Dx, Dy, n_slabs, taylor
+    eDx, eDy, ens, ett = static_override
+    if not (eDx >= Dx and eDy >= Dy and ens >= n_slabs and ett >= taylor):
+        raise ValueError(
+            f"static_override {static_override} does not cover this "
+            f"member's config (Dx={Dx}, Dy={Dy}, n_slabs={n_slabs}, "
+            f"taylor_terms={taylor})")
+    return int(eDx), int(eDy), int(ens), int(ett)
+
+
 def static_envelope(g, period_pairs, wavelengths, numG):
     """Elementwise-max static solve config over explicit
     ``(grating_period, lateral_period)`` pairs: the ``(Dx, Dy, n_slabs,
@@ -362,7 +379,7 @@ def fom_value_and_grad(g, target_wavelength=None, numG: int = 50,
 
 def fom_batch_fn(g, target_wavelength=None, numG: int = 50, terms=None,
                  taylor_terms: int | None = None, rdtype=None,
-                 fff: bool = True):
+                 fff: bool = True, static_override=None):
     """Return a function ``xyrra_batch (B, nE, 5) -> fom values (B,)``:
     the FOM of B candidate geometries of the same cell in ONE device
     program (vmapped over xyrra, static config shared).
@@ -372,11 +389,18 @@ def fom_batch_fn(g, target_wavelength=None, numG: int = 50, terms=None,
     over the remote TPU tunnel each separate dispatch+fetch costs orders of
     magnitude more than the batched solve itself.  Program is cached per
     (static config, B); callers should keep B fixed across calls (pad) so
-    an optimize run compiles exactly one signature."""
+    an optimize run compiles exactly one signature.
+
+    ``static_override``: optional ``(Dx, Dy, n_slabs, taylor_terms)``
+    envelope (:func:`static_envelope`) so every member of a design
+    continuation shares one compiled program despite the per-member
+    period rescale drifting the exact config."""
     rdtype = rdtype or _default_rdtype()
     orders, n_slabs, taylor, hermitian, tgt, inph, arrays = _fom_inputs(
         g, target_wavelength, numG, terms, rdtype)
     Dx, Dy = _order_bounds(orders)
+    Dx, Dy, n_slabs, taylor = apply_static_override(
+        static_override, Dx, Dy, n_slabs, taylor)
     small_u0 = small_u_ok(g, orders)
     g_max = _diff_g_max(g, orders)
     omx, omy, i0 = _traced_order_args(orders)

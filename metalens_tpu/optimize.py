@@ -49,10 +49,12 @@ class _BatchedProbe:
     lists are padded by repetition so every call hits the same compiled
     signature."""
 
-    def __init__(self, g, target_wavelength, numG, terms, B):
+    def __init__(self, g, target_wavelength, numG, terms, B,
+                 static_override=None):
         self.B = B
         self._fn = fom_batch_fn(g, target_wavelength=target_wavelength,
-                                numG=numG, terms=terms)
+                                numG=numG, terms=terms,
+                                static_override=static_override)
 
     def __call__(self, candidates):
         candidates = list(candidates)
@@ -120,7 +122,7 @@ def _probe_batch_size(g):
 
 def optimize(mygrating_start, target_wavelength, similar_to=None,
              how_similar=None, subfolder=None, numG=50, terms=None,
-             verbose=True, rng=None):
+             verbose=True, rng=None, static_override=None):
     """Cyclic coordinate descent: shuffled sweeps over every (ellipse,
     parameter) coordinate, ratcheting each one by +-1 nm (+-0.3 deg for the
     rotation column) while the FOM holds or improves, until a full sweep
@@ -143,7 +145,8 @@ def optimize(mygrating_start, target_wavelength, similar_to=None,
                     similar_to=similar_to, how_similar=how_similar)
     g = mygrating_start.copy()
     probe = _BatchedProbe(g, target_wavelength, numG, terms,
-                          _probe_batch_size(g))
+                          _probe_batch_size(g),
+                          static_override=static_override)
 
     fom_now = probe([g.xyrra_list])[0]
     if verbose:
@@ -200,7 +203,7 @@ def optimize(mygrating_start, target_wavelength, similar_to=None,
 
 def optimize2(mygrating_start, target_wavelength, attempts=inf,
               similar_to=None, how_similar=None, subfolder=None, numG=50,
-              terms=None, verbose=True, rng=None):
+              terms=None, verbose=True, rng=None, static_override=None):
     """Random simultaneous perturbation: each attempt draws one uniform
     step for ALL coordinates at once (per-coordinate ceiling 1 nm / 0.1 deg,
     divided by the coordinate count) and ratchets along it.  Behavioral
@@ -216,7 +219,8 @@ def optimize2(mygrating_start, target_wavelength, attempts=inf,
     rng = rng or np.random
     g = mygrating_start.copy()
     probe = _BatchedProbe(g, target_wavelength, numG, terms,
-                          _probe_batch_size(g))
+                          _probe_batch_size(g),
+                          static_override=static_override)
 
     fom_now = probe([g.xyrra_list])[0]
     if verbose:
@@ -429,7 +433,7 @@ def continuation_static_envelope(start_grating, end_angle, lens_type,
     of a fresh remote compile each time the per-member period rescale
     drifts the static solve config.  Compute it from the continuation's
     seed BEFORE optimizing the seed, and pass the same tuple to the seed's
-    fused calls and to ``vary_angle(fused_static_override=...)``."""
+    fused calls and to ``vary_angle(static_override=...)``."""
     from .engine import static_envelope, DEFAULT_FOM_TERMS
     gc = _init_collection(start_grating, lens_type, target_wavelength)
     pairs = _continuation_ladder(gc, end_angle, change_each_step)
@@ -459,7 +463,7 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                subfolder=None, numG=50, terms=None, use_gradient=False,
                optimize2_attempts=200, gradient_steps=120, verbose=True,
                change_each_step=1.01, similarity_each_step=0.03, rng=None,
-               use_fused=False, fused_static_override=None):
+               use_fused=False, static_override=None):
     """Geometric continuation building a GratingCollection (reference
     ``grating.py:820-918``): step the period by 1% per iteration, re-seed
     from the previous solution via :func:`resize`, re-optimize under a 3%
@@ -519,14 +523,14 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
 
     assert change_each_step > 1 and similarity_each_step > 0
 
-    if use_fused and fused_static_override is None:
+    if use_fused and static_override is None:
         # one compiled program (pair) for the whole continuation: cover
         # every ladder member's static solve config up front
         from .engine import static_envelope, DEFAULT_FOM_TERMS
         pairs = _continuation_ladder(all_gratings, end_angle,
                                      change_each_step)
         tt = tuple(terms) if terms is not None else DEFAULT_FOM_TERMS
-        fused_static_override = static_envelope(
+        static_override = static_envelope(
             all_gratings.grating_list[0], pairs,
             [t.wavelength for t in tt], numG)
 
@@ -566,14 +570,14 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
                 verbose=verbose, seed=seeds[0],
-                static_override=fused_static_override)
+                static_override=static_override)
             grating_new = optimize2_fused(
                 grating_new, attempts=optimize2_attempts,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
                 verbose=verbose, seed=seeds[1],
-                static_override=fused_static_override)
+                static_override=static_override)
         elif use_gradient:
             grating_new = optimize_gradient(
                 grating_new_start,
@@ -593,13 +597,15 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose, rng=rng)
+                verbose=verbose, rng=rng,
+                static_override=static_override)
             grating_new = optimize2(
                 grating_new, attempts=optimize2_attempts,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
-                verbose=verbose, rng=rng)
+                verbose=verbose, rng=rng,
+                static_override=static_override)
 
         all_gratings.add_one(grating_new)
 

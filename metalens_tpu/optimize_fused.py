@@ -60,7 +60,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .engine import (_fom_eval, _fom_inputs, _order_bounds,
-                     _traced_order_args, _default_rdtype)
+                     _traced_order_args, _default_rdtype,
+                     apply_static_override as _apply_override)
 from .grating import validate, min_diameter, min_distance
 from .units import nm, degree, pi
 
@@ -186,23 +187,6 @@ def _ratchet_scan(f1, wfoms, wfeas):
 # at ~14 ms per batched solve the waste is noise next to one saved
 # compile.
 FUSED_PROBE_BATCH = 50
-
-
-def _apply_override(static_override, Dx, Dy, n_slabs, taylor):
-    """Validate and apply a ``(Dx, Dy, n_slabs, taylor_terms)`` envelope
-    (see :func:`metalens_tpu.engine.static_envelope`): every component
-    must cover the member's own requirement, because a too-small dense
-    grid would drop ellipse Fourier content and a too-short series would
-    truncate the slab exponential."""
-    if static_override is None:
-        return Dx, Dy, n_slabs, taylor
-    eDx, eDy, ens, ett = static_override
-    if not (eDx >= Dx and eDy >= Dy and ens >= n_slabs and ett >= taylor):
-        raise ValueError(
-            f"static_override {static_override} does not cover this "
-            f"member's config (Dx={Dx}, Dy={Dy}, n_slabs={n_slabs}, "
-            f"taylor_terms={taylor})")
-    return int(eDx), int(eDy), int(ens), int(ett)
 
 
 def _fom_batch(fom_of, rows, x, batch):
