@@ -79,7 +79,7 @@ def __getattr__(name):
     if name in ("optimize2", "optimize_gradient", "vary_angle"):
         mod = importlib.import_module(".optimize", __name__)
         return getattr(mod, name)
-    if name in ("optimize_fused", "optimize2_fused"):
+    if name in ("optimize_fused", "optimize2_fused", "optimize_multistart"):
         mod = importlib.import_module(".optimize_fused", __name__)
         # pin the functions over the submodule attribute the import just
         # installed, or `from metalens_tpu import optimize_fused` binds the
@@ -87,6 +87,7 @@ def __getattr__(name):
         # attr, and the from-import's second lookup then sees the module)
         globals()["optimize_fused"] = mod.optimize_fused
         globals()["optimize2_fused"] = mod.optimize2_fused
+        globals()["optimize_multistart"] = mod.optimize_multistart
         return getattr(mod, name)
     if name == "HexGridSet":
         return importlib.import_module(".hexgrid", __name__).HexGridSet

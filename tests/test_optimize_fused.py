@@ -110,6 +110,36 @@ def test_optimize2_fused_improves():
     assert f1 >= f0
 
 
+def test_optimize_multistart_returns_best_of_k():
+    """best-of-k must return the max restart score, its grating must
+    re-score to exactly that value, and the k=member chains must equal
+    the individually-seeded chains (the restarts ARE the single calls)."""
+    from metalens_tpu.optimize_fused import optimize_multistart
+    g = start_grating()
+    best, foms = optimize_multistart(g, k=3, target_wavelength=LAM,
+                                     numG=20, terms=TERMS, attempts=5,
+                                     seed=7, verbose=False)
+    assert len(foms) == 3
+    assert np.isclose(
+        float(np.real(best.fom(target_wavelength=LAM, numG=20,
+                               terms=TERMS))), max(foms))
+    # restart i is exactly the seeded single-call chain
+    g1 = optimize_fused(g, target_wavelength=LAM, numG=20, terms=TERMS,
+                        seed=7 + 2, verbose=False)
+    g1 = optimize2_fused(g1, target_wavelength=LAM, numG=20, terms=TERMS,
+                         attempts=5, seed=7 + 3, verbose=False)
+    assert np.isclose(
+        foms[1],
+        float(np.real(g1.fom(target_wavelength=LAM, numG=20, terms=TERMS))))
+    # determinism: same seed, same answer
+    best2, foms2 = optimize_multistart(g, k=3, target_wavelength=LAM,
+                                       numG=20, terms=TERMS, attempts=5,
+                                       seed=7, verbose=False)
+    np.testing.assert_array_equal(best.xyrra_list, best2.xyrra_list)
+    assert foms == foms2
+    assert validate(best)
+
+
 def test_package_level_lazy_export():
     # the lazy hook pins the FUNCTIONS over the submodule attribute, so
     # `from metalens_tpu import optimize_fused` binds the callable even
@@ -120,6 +150,8 @@ def test_package_level_lazy_export():
     assert metalens_tpu.optimize2_fused is optimize2_fused
     assert callable(metalens_tpu.optimize_fused)
     assert metalens_tpu.optimize_fused is optimize_fused
+    from metalens_tpu.optimize_fused import optimize_multistart
+    assert metalens_tpu.optimize_multistart is optimize_multistart
 
 
 def test_seed_and_continuation_share_one_program():
