@@ -459,15 +459,19 @@ def optimize_multistart(mygrating_start, k=8, target_wavelength=None,
     chain from the same start; returns ``(best_grating, foms)`` with
     ``foms`` the k restart scores in seed order.
 
-    Restart spread is real and worth harvesting: at the NS2 bracket-0
-    seed, five fused restarts measured FOMs 0.2994-0.541 while five host
-    restarts clustered at 0.2927-0.3065 (``benchmarks/QUALITY_AB.json``)
-    -- the best-of-5 draw beat the typical one by ~1.7x.  And on a warm
-    program a restart is nearly free: all k chains share the ONE compiled
-    (nE, config) program pair -- only the ``jax.random`` seed differs --
-    and a warm fused member costs seconds (5.4-9.2 s on chip at the
-    production design config vs 44-520 s per host-loop member, same
-    artifact), so best-of-8 costs less than one host-loop restart.  The
+    Restart spread is real and worth harvesting (it is heavy-tailed, so
+    the harvest varies): measured k=8 at all four NS2 bracket seeds on
+    chip (``benchmarks/MULTISTART.json``), best-of-8 beat the median
+    draw by +0.01 / +0.05 / +0.05 / +0.03 FOM per bracket and set a new
+    record over every previously observed single draw in three of the
+    four brackets (``QUALITY_AB.json`` k=5 x 2 paths being the prior
+    sample; bracket 0's one lucky 0.541 draw there shows the tail this
+    is harvesting).  And on a warm program a restart is nearly free: all
+    k chains share the ONE compiled (nE, config) program pair -- only
+    the ``jax.random`` seed differs -- and a warm fused member costs
+    seconds (5.4-9.2 s on chip at the production design config vs
+    44-520 s per host-loop member, ``QUALITY_AB.json``), so best-of-8
+    costs less than one host-loop restart.  The
     mesh-parallel variant of the same idea is
     :func:`metalens_tpu.parallel.design.sharded_member_optimize` (one
     restart per device, identical member programs).
