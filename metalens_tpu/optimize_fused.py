@@ -454,7 +454,7 @@ def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,
 def optimize_multistart(mygrating_start, k=8, target_wavelength=None,
                         similar_to=None, how_similar=None, numG=50,
                         terms=None, seed=0, attempts=200, verbose=True,
-                        rdtype=None, static_override=None):
+                        rdtype=None, static_override=None, accept=None):
     """Best-of-``k`` seeded restarts of the fused optimize -> optimize2
     chain from the same start; returns ``(best_grating, foms)`` with
     ``foms`` the k restart scores in seed order.
@@ -480,6 +480,15 @@ def optimize_multistart(mygrating_start, k=8, target_wavelength=None,
     FOM program (``Grating.fom``) so all k values come from the identical
     computation rather than each chain's internal running value.
 
+    ``accept``: optional predicate ``grating -> bool``; restarts failing
+    it still appear in ``foms`` but are excluded from best selection.
+    The motivating gate is continuation feasibility: an aggressively
+    optimized unconstrained member can sit ON the ``min_distance``
+    boundary, where ``vary_angle``'s 5% period rescale pushes it
+    infeasible and ``resize`` refuses it (measured: bracket 1's 0.4209
+    record member, ``benchmarks/multistart_continuation.py``).  Raises
+    ``ValueError`` if no restart is accepted.
+
     Reference role: the reference harvested realization spread by
     re-running its design script by hand (``/root/reference/README.md:
     52-94`` workflow); here a restart is a warm dispatch, so best-of-k
@@ -503,8 +512,10 @@ def optimize_multistart(mygrating_start, k=8, target_wavelength=None,
         f = float(np.real(g.fom(target_wavelength=target_wavelength,
                                 numG=numG, terms=terms)))
         foms.append(f)
-        if f > best_f:
+        if f > best_f and (accept is None or accept(g)):
             best_f, best_g = f, g
+    if best_g is None:
+        raise ValueError(f"no restart of k={k} passed the accept gate")
     if verbose:
         print(f"#optimize_multistart: best fom={best_f:.6f} of k={k} "
               f"(spread {min(foms):.4f}-{max(foms):.4f})", flush=True)

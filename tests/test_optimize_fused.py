@@ -140,6 +140,30 @@ def test_optimize_multistart_returns_best_of_k():
     assert validate(best)
 
 
+def test_optimize_multistart_accept_gate():
+    """accept filters best-selection without touching the score list; an
+    all-rejecting gate raises."""
+    from metalens_tpu.optimize_fused import optimize_multistart
+    g = start_grating()
+    kw = dict(k=2, target_wavelength=LAM, numG=20, terms=TERMS,
+              attempts=5, seed=7, verbose=False)
+    best_all, foms = optimize_multistart(g, **kw)
+    f_best = float(np.real(best_all.fom(target_wavelength=LAM, numG=20,
+                                        terms=TERMS)))
+    if not np.isclose(foms[0], foms[1]):
+        # reject exactly the unrestricted winner -> the other restart wins
+        best_other, foms2 = optimize_multistart(
+            g, accept=lambda gg: abs(float(np.real(
+                gg.fom(target_wavelength=LAM, numG=20, terms=TERMS)))
+                - f_best) > 1e-12, **kw)
+        assert foms2 == foms
+        f_other = float(np.real(
+            best_other.fom(target_wavelength=LAM, numG=20, terms=TERMS)))
+        assert np.isclose(f_other, min(foms))
+    with pytest.raises(ValueError):
+        optimize_multistart(g, accept=lambda gg: False, **kw)
+
+
 def test_package_level_lazy_export():
     # the lazy hook pins the FUNCTIONS over the submodule attribute, so
     # `from metalens_tpu import optimize_fused` binds the callable even
