@@ -405,6 +405,54 @@ def resize(oldgrating, newgrating_shell):
 
     shift = g.xyrra_list[:, 0] > x_to_cut_at
     g.xyrra_list[shift, 0] -= (old_grating_period - new_grating_period)
+    if validate(g) is True:
+        return g
+
+    # Multi-gap fallback (beyond the reference, which asserts here,
+    # ``grating.py:648``): the single cut concentrates the whole period
+    # shrink at one line, which fails for boundary-packed designs --
+    # e.g. best-of-k members (optimize_multistart) that ratchet every
+    # pairwise clearance down toward min_distance, where the slack is
+    # spread across SEVERAL x-gaps.  Distribute the shrink over every
+    # gap region proportionally to its removable slack: a cut line with
+    # outline clearance c tolerates removing up to 2c - min_distance
+    # before the outlines straddling it can violate (x-separation
+    # lower-bounds the 2-D outline distance).
+    delta = old_grating_period - new_grating_period
+    above = clearance > min_distance / 2
+    # maximal runs of candidate lines clear of any outline = the gap
+    # regions; each contributes its best line as an independent cut
+    runs, start = [], None
+    for i, ok in enumerate(above):
+        if ok and start is None:
+            start = i
+        elif not ok and start is not None:
+            runs.append((start, i))
+            start = None
+    if start is not None:   # wraps: merge with a leading run if any
+        if runs and runs[0][0] == 0:
+            runs[0] = (start - len(above), runs[0][1])
+        else:
+            runs.append((start, len(above)))
+    cuts, slacks = [], []
+    for a, b in runs:
+        idx = np.arange(a, b) % len(above)
+        j = idx[np.argmax(clearance[idx])]
+        slack = 2 * clearance[j] - min_distance
+        if slack > 0:
+            cuts.append(try_cutting[j])
+            slacks.append(slack)
+    cuts, slacks = np.asarray(cuts), np.asarray(slacks)
+    if len(cuts) and slacks.sum() > delta:
+        take = delta * slacks / slacks.sum()
+        g.xyrra_list = np.array(oldgrating.xyrra_list, copy=True)
+        shift_per_pillar = (
+            (g.xyrra_list[:, 0:1] > cuts[None, :]) * take[None, :]
+        ).sum(axis=1)
+        g.xyrra_list[:, 0] -= shift_per_pillar
+        g.standardize()
+        if validate(g) is True:
+            return g
     assert validate(g, print_details=True)
     return g
 

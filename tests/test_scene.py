@@ -122,6 +122,39 @@ def test_resize_shrinks_through_gap():
     assert g_new.grating_period == 1150 * nm
 
 
+def test_resize_multi_gap_fallback():
+    """A boundary-packed cell whose slack is SPREAD across three equal
+    gaps: the reference's single-cut repair cannot absorb the shrink (any
+    one gap would go below min_distance), the multi-gap fallback
+    distributes it and validates.  Geometry: three rx=80nm pillars with
+    160nm gaps (period 960nm); shrinking by 120nm needs 40nm from each
+    gap (leaving 120 >= min_distance=100), while one cut would leave
+    160-120=40 < 100."""
+    g_old = simple_grating(grating_period=960 * nm, xyrra_list_in_nm_deg=np.array(
+        [[-320., 0., 80., 80., 0.],
+         [0., 0., 80., 80., 0.],
+         [320., 0., 80., 80., 0.]]))
+    assert validate(g_old)
+    shell = Grating(lateral_period=g_old.lateral_period,
+                    cyl_height=550 * nm, grating_period=840 * nm,
+                    xyrra_list_in_nm_deg=np.zeros((0, 5)))
+    g_new = resize(g_old, shell)
+    assert validate(g_new)
+    assert g_new.grating_period == 840 * nm
+    # all pairwise x-separations survived >= min_distance
+    from metalens_tpu.grating import min_distance
+    from metalens_tpu.geometry import ellipse_outlines
+    pts = ellipse_outlines(g_new.xyrra_list).reshape(-1, 2)
+    for i in range(3):
+        a = ellipse_outlines(g_new.xyrra_list[i:i + 1]).reshape(-1, 2)
+        for j in range(i + 1, 3):
+            b = ellipse_outlines(g_new.xyrra_list[j:j + 1]).reshape(-1, 2)
+            dx = np.abs(a[:, None, 0] - b[None, :, 0])
+            dx = np.minimum(dx, g_new.grating_period - dx)
+            d = np.sqrt(dx ** 2 + (a[:, None, 1] - b[None, :, 1]) ** 2)
+            assert d.min() >= min_distance - 1e-12
+
+
 def make_collection():
     gs = []
     for gp in (1100., 1200., 1300.):
