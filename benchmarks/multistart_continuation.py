@@ -64,14 +64,28 @@ def main():
     from metalens_tpu.optimize import _init_collection
     from metalens_tpu.grating import resize
 
+    # forward headroom: the fused ratchet packs clearances to whatever
+    # floor it is given, and a member packed to exactly min_distance can
+    # be impossible to re-seed at the next 5% period shrink (the first
+    # probe run measured exactly that: the rung-1 member crashed rung
+    # 2's resize).  Give every member the next rung's shrink as slack.
+    from metalens_tpu.grating import min_distance
+    g_probe = _seed_grating(lo - 0.3, npil)
+    gc_probe = _init_collection(g_probe, "round", 580 * nm)
+    nxt_probe = gc_probe.get_one(
+        lateral_period=g_probe.lateral_period * CHANGE_EACH_STEP)
+    delta = g_probe.grating_period - nxt_probe.grating_period
+    mg = min_distance + max(delta, 0.0)
+
     def one_restart(i):
         s = 4242 + 100 * bi
         g = optimize_fused(_seed_grating(lo - 0.3, npil),
                            target_wavelength=580 * nm, numG=DESIGN_NUMG,
-                           terms=terms, seed=s + 2 * i, verbose=False)
+                           terms=terms, seed=s + 2 * i, verbose=False,
+                           min_gap=mg)
         g = optimize2_fused(g, target_wavelength=580 * nm, attempts=40,
                             numG=DESIGN_NUMG, terms=terms,
-                            seed=s + 2 * i + 1, verbose=False)
+                            seed=s + 2 * i + 1, verbose=False, min_gap=mg)
         return g, float(np.real(g.fom(target_wavelength=580 * nm,
                                       numG=DESIGN_NUMG, terms=terms)))
 
@@ -115,7 +129,8 @@ def main():
                     terms=terms, optimize2_attempts=15, verbose=False,
                     change_each_step=CHANGE_EACH_STEP,
                     similarity_each_step=SIMILARITY,
-                    rng=np.random.default_rng(1000 + bi), use_fused=True)
+                    rng=np.random.default_rng(1000 + bi), use_fused=True,
+                    min_gap=mg)
     t_cont = round(time.perf_counter() - t1, 1)
 
     member_foms = [round(float(np.real(
@@ -136,6 +151,8 @@ def main():
 
     out = {"bracket": bi, "pillars": npil, "bracket_deg": [lo, hi],
            "k": args.k, "numG": DESIGN_NUMG,
+           "min_gap_nm": round(mg / nm, 2),
+           "rung_shrink_nm": round(delta / nm, 2),
            "seed_foms": [round(f, 4) for f in foms],
            "seed_best": round(max(foms), 4),
            "seed_used": {"restart": used, "fom": round(foms[used], 4)},

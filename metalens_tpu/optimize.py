@@ -463,7 +463,7 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                subfolder=None, numG=50, terms=None, use_gradient=False,
                optimize2_attempts=200, gradient_steps=120, verbose=True,
                change_each_step=1.01, similarity_each_step=0.03, rng=None,
-               use_fused=False, static_override=None):
+               use_fused=False, static_override=None, min_gap=None):
     """Geometric continuation building a GratingCollection (reference
     ``grating.py:820-918``): step the period by 1% per iteration, re-seed
     from the previous solution via :func:`resize`, re-optimize under a 3%
@@ -502,6 +502,14 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
     instead of one per probe).  Member seeds are drawn from ``rng`` so a
     seeded continuation stays reproducible; exclusive of
     ``use_gradient``.
+
+    ``min_gap`` (fused path only): inflated pillar-clearance floor
+    passed to the fused member optimizers so every accepted member keeps
+    enough slack to survive the NEXT period rescale — a member ratcheted
+    to exactly ``min_distance`` can make :func:`resize` geometrically
+    impossible at the following rung (see
+    ``optimize_fused.optimize_fused``'s docstring for the measured
+    case).  A traced input, so it costs no extra compile.
     """
     if use_fused and use_gradient:
         raise ValueError("use_fused and use_gradient are exclusive")
@@ -570,14 +578,14 @@ def vary_angle(start_grating=None, end_angle=None, lens_type=None,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
                 verbose=verbose, seed=seeds[0],
-                static_override=static_override)
+                static_override=static_override, min_gap=min_gap)
             grating_new = optimize2_fused(
                 grating_new, attempts=optimize2_attempts,
                 target_wavelength=all_gratings.target_wavelength,
                 similar_to=grating_new_start.xyrra_list,
                 how_similar=similarity_each_step, numG=numG, terms=terms,
                 verbose=verbose, seed=seeds[1],
-                static_override=static_override)
+                static_override=static_override, min_gap=min_gap)
         elif use_gradient:
             grating_new = optimize_gradient(
                 grating_new_start,

@@ -280,7 +280,7 @@ def _cd_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
 def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
                    how_similar=None, numG=50, terms=None, seed=0,
                    max_rounds_per_dispatch=64, verbose=True, rdtype=None,
-                   static_override=None):
+                   static_override=None, min_gap=None):
     """Coordinate-descent ratchet with the WHOLE loop on device (see
     module docstring).  Same acceptance semantics as
     :func:`metalens_tpu.optimize.optimize`; the shuffle comes from
@@ -293,7 +293,20 @@ def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
     fresh ~10-min remote compile each time the 5%-per-member period
     rescale drifts the quantized bounds or slab schedule (the dominant
     cost of the round-5 cold fused NS2 design: 16 compiled programs,
-    ~6700s of the 12018s wall)."""
+    ~6700s of the 12018s wall).
+
+    ``min_gap``: optional inflated pillar-clearance floor (metres;
+    default the fabrication ``min_distance``).  It is a TRACED input --
+    no new program signature -- and exists for continuation headroom:
+    the ratchet packs clearances down to whatever floor it is given, and
+    a member packed to exactly ``min_distance`` can be geometrically
+    impossible to re-seed at the next 5% period shrink (total removable
+    slack < the shrink; measured on the bracket-1 best-of-8 member,
+    ``benchmarks/multistart_continuation.py``).  Passing
+    ``min_distance + delta`` keeps every accepted member re-seedable.
+    If the START violates the inflated floor the loop simply cannot
+    accept moves until probes re-enter the inflated-feasible set; the
+    result is always at least ``min_distance``-feasible."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     g = mygrating_start.copy()
@@ -317,7 +330,8 @@ def optimize_fused(mygrating_start, target_wavelength=None, similar_to=None,
     while True:
         x, fom_now, stalled, rounds, key = prog(
             x, sim, hs, jnp.asarray(min_diameter / 2, rdtype),
-            jnp.asarray(min_distance, rdtype), key,
+            jnp.asarray(min_distance if min_gap is None else min_gap,
+                        rdtype), key,
             omx, omy, i0, tgt_j, g.grating_period, g.lateral_period,
             g.cyl_height, *arrays)
         total_rounds += int(rounds)
@@ -404,11 +418,11 @@ def _rp_program(N, Dx, Dy, n_slabs, taylor_terms, inphase, fff,
 def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,
                     similar_to=None, how_similar=None, numG=50, terms=None,
                     seed=0, verbose=True, rdtype=None,
-                    static_override=None):
+                    static_override=None, min_gap=None):
     """Random simultaneous perturbation with the attempt loop on device
     (semantics of :func:`metalens_tpu.optimize.optimize2`; draws from
-    ``jax.random`` seeded by ``seed``).  ``static_override``: see
-    :func:`optimize_fused`."""
+    ``jax.random`` seeded by ``seed``).  ``static_override`` and
+    ``min_gap``: see :func:`optimize_fused`."""
     assert validate(mygrating_start, print_details=True,
                     similar_to=similar_to, how_similar=how_similar)
     g = mygrating_start.copy()
@@ -433,7 +447,8 @@ def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,
     x, fom_now, tried = prog(
         jnp.asarray(g.xyrra_list, rdtype), sim, hs,
         jnp.asarray(min_diameter / 2, rdtype),
-        jnp.asarray(min_distance, rdtype), jax.random.PRNGKey(seed),
+        jnp.asarray(min_distance if min_gap is None else min_gap,
+                    rdtype), jax.random.PRNGKey(seed),
         jnp.int32(attempts), jnp.asarray(step_ceiling, rdtype),
         omx, omy, i0, tgt_j, g.grating_period, g.lateral_period,
         g.cyl_height, *arrays)
@@ -454,7 +469,8 @@ def optimize2_fused(mygrating_start, target_wavelength=None, attempts=200,
 def optimize_multistart(mygrating_start, k=8, target_wavelength=None,
                         similar_to=None, how_similar=None, numG=50,
                         terms=None, seed=0, attempts=200, verbose=True,
-                        rdtype=None, static_override=None, accept=None):
+                        rdtype=None, static_override=None, accept=None,
+                        min_gap=None):
     """Best-of-``k`` seeded restarts of the fused optimize -> optimize2
     chain from the same start; returns ``(best_grating, foms)`` with
     ``foms`` the k restart scores in seed order.
@@ -502,13 +518,15 @@ def optimize_multistart(mygrating_start, k=8, target_wavelength=None,
                            similar_to=similar_to, how_similar=how_similar,
                            numG=numG, terms=terms, seed=seed + 2 * i,
                            verbose=verbose, rdtype=rdtype,
-                           static_override=static_override)
+                           static_override=static_override,
+                           min_gap=min_gap)
         g = optimize2_fused(g, target_wavelength=target_wavelength,
                             attempts=attempts, similar_to=similar_to,
                             how_similar=how_similar, numG=numG,
                             terms=terms, seed=seed + 2 * i + 1,
                             verbose=verbose, rdtype=rdtype,
-                            static_override=static_override)
+                            static_override=static_override,
+                            min_gap=min_gap)
         f = float(np.real(g.fom(target_wavelength=target_wavelength,
                                 numG=numG, terms=terms)))
         foms.append(f)

@@ -140,6 +140,27 @@ def test_optimize_multistart_returns_best_of_k():
     assert validate(best)
 
 
+def test_min_gap_headroom_is_enforced():
+    """An inflated min_gap must hold for every accepted result (the
+    continuation-headroom contract), and a floor the start itself
+    violates leaves the geometry unchanged rather than crashing."""
+    from metalens_tpu.grating import min_distance
+    g = two_pillar_grating()
+    mg = min_distance * 1.5
+    g_r = optimize2_fused(g, target_wavelength=LAM, attempts=10, numG=20,
+                          terms=TERMS, verbose=False, seed=5, min_gap=mg)
+    assert bool(feasible_traced(g_r.xyrra_list, g_r.grating_period,
+                                g_r.lateral_period, min_diameter / 2, mg))
+    assert validate(g_r)
+    # a floor the start violates: no move can be accepted
+    huge = g.lateral_period   # 320nm clearance is impossible here
+    g_u = optimize_fused(g, target_wavelength=LAM, numG=20, terms=TERMS,
+                         verbose=False, seed=5, min_gap=huge)
+    g0 = g.copy()
+    g0.standardize()
+    np.testing.assert_allclose(g_u.xyrra_list, g0.xyrra_list)
+
+
 def test_optimize_multistart_accept_gate():
     """accept filters best-selection without touching the score list; an
     all-rejecting gate raises."""
